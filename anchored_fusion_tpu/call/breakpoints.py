@@ -1,0 +1,164 @@
+"""Soft-clip breakpoint clustering on the anchored transcript.
+
+TPU-era rewrite of ``contact_reads`` (functions.py:892-952): the per-read work
+(alignment, clip classification, breakpoint coordinates) is already done on
+device by the aligner; what remains is grouping the *small* set of split reads
+(only clipped reads survive) into per-breakpoint clusters whose flank
+sequences are mutually consistent, preserving the reference's greedy insert
+semantics so cluster contents are bit-compatible.
+
+Breakpoint convention (1-based transcript coordinate, functions.py:921-930):
+  SM (left-clipped):  the M-run start  -> clip attaches to the left.
+  MS (right-clipped): the M-run end    -> clip attaches to the right.
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from anchored_fusion_tpu.config import CallConfig
+from anchored_fusion_tpu.ops.encode import decode_to_str, revcomp
+
+
+@dataclasses.dataclass
+class SplitCluster:
+    """One cluster of split reads sharing a breakpoint and flank sequences.
+
+    ``seq_left``/``seq_right`` hold the longest observed flanks (upgraded as
+    reads join, Split_reads.add_reads parity functions.py:139-144); after
+    consensus merging they hold the PWM-consensus flanks instead.
+    """
+
+    chrom: str
+    breakpoint: int
+    type_: str  # 'SM' | 'MS'
+    seq_left: str
+    seq_right: str
+    reads: List[str]
+    cnt: int = 1
+    other_breakpoints: List[list] = dataclasses.field(default_factory=list)
+
+    def add_read(self, seq_left: str, seq_right: str, read: str):
+        if len(seq_left) > len(self.seq_left):
+            self.seq_left = seq_left
+        if len(seq_right) > len(self.seq_right):
+            self.seq_right = seq_right
+        self.cnt += 1
+        self.reads.append(read)
+
+    def add_other_breakpoint(self, chrom: str, breakpoint: int, strand: str,
+                             in_breakpoint: int, cut: int):
+        self.other_breakpoints.append([chrom, breakpoint, strand, in_breakpoint, cut])
+
+
+def _flanks_consistent(l1: str, r1: str, l2: str, r2: str) -> bool:
+    """Exact suffix/prefix consistency (if_same, functions.py:907-911)."""
+    if l1[max(len(l1) - len(l2), 0):] != l2[max(len(l2) - len(l1), 0):]:
+        return False
+    n = min(len(r1), len(r2))
+    return r1[:n] == r2[:n]
+
+
+@dataclasses.dataclass
+class SplitRead:
+    """One oriented split read ready for clustering."""
+
+    name: str
+    chrom: str
+    breakpoint: int
+    type_: str
+    seq_left: str
+    seq_right: str
+
+
+def extract_split_reads(
+    names: List[str],
+    oriented_seqs: np.ndarray,      # (N, R) int8, strand already applied
+    read_lengths: np.ndarray,       # (N,)
+    kinds: np.ndarray,              # (N,) from classify_clips
+    read_starts: np.ndarray,
+    read_ends: np.ndarray,
+    ref_starts: np.ndarray,         # 0-based on anchor
+    ref_ends: np.ndarray,
+    anchor_name: str,
+    cfg: Optional[CallConfig] = None,
+) -> List[SplitRead]:
+    """Turn aligner output into clustering-ready split reads.
+
+    Applies the 2-op rule (kind SM/MS only) and the >=15bp minimum clip
+    (functions.py:923, :928).  Output is sorted by (breakpoint, name) — the
+    reference consumes a coordinate-sorted BAM, so cluster insertion order is
+    position-major there too.
+    """
+    cfg = cfg or CallConfig()
+    out: List[SplitRead] = []
+    for i in range(len(names)):
+        kind = kinds[i]
+        if kind == 2:  # SM
+            clip = int(read_starts[i])
+            if clip < cfg.min_clip_len:
+                continue
+            bp = int(ref_starts[i]) + 1
+            boundary = clip
+            type_ = "SM"
+        elif kind == 3:  # MS
+            clip = int(read_lengths[i]) - 1 - int(read_ends[i])
+            if clip < cfg.min_clip_len:
+                continue
+            bp = int(ref_ends[i]) + 1
+            boundary = int(read_ends[i]) + 1
+            type_ = "MS"
+        else:
+            continue
+        seq = decode_to_str(oriented_seqs[i, : int(read_lengths[i])])
+        out.append(SplitRead(names[i], anchor_name, bp, type_,
+                             seq[:boundary], seq[boundary:]))
+    out.sort(key=lambda s: (s.breakpoint, s.name))
+    return out
+
+
+def cluster_split_reads(split_reads: List[SplitRead]) -> List[Tuple[int, List[SplitCluster]]]:
+    """Group split reads into per-breakpoint flank-consistent clusters.
+
+    Returns a breakpoint-sorted list of (breakpoint, [SplitCluster, ...]).
+    Greedy last-match-first insertion parity with functions.py:931-949.
+    """
+    bps: List[int] = []
+    groups: List[List[SplitCluster]] = []
+    for sr in split_reads:
+        j = bisect.bisect_left(bps, sr.breakpoint)
+        if j == len(bps) or bps[j] != sr.breakpoint:
+            bps.insert(j, sr.breakpoint)
+            groups.insert(j, [SplitCluster(sr.chrom, sr.breakpoint, sr.type_,
+                                           sr.seq_left, sr.seq_right, [sr.name])])
+            continue
+        lst = groups[j]
+        for c in reversed(lst):
+            if c.type_ == sr.type_ and _flanks_consistent(
+                c.seq_left, c.seq_right, sr.seq_left, sr.seq_right
+            ):
+                c.add_read(sr.seq_left, sr.seq_right, sr.name)
+                break
+        else:
+            lst.append(SplitCluster(sr.chrom, sr.breakpoint, sr.type_,
+                                    sr.seq_left, sr.seq_right, [sr.name]))
+    return list(zip(bps, groups))
+
+
+def oriented_sequences(seqs: np.ndarray, strands: np.ndarray) -> np.ndarray:
+    """Apply per-read strand to raw read codes (SAM SEQ convention).
+
+    Reverse-complemented rows are rolled so position 0 is the first real base
+    (plain revcomp of a padded row would put the PAD run in front).
+    """
+    R = seqs.shape[1]
+    lens = (seqs != 5).sum(axis=1)
+    rc = revcomp(seqs)
+    out = seqs.copy()
+    for i in np.nonzero(strands == 1)[0]:
+        out[i] = np.roll(rc[i], int(lens[i]) - R)
+    return out

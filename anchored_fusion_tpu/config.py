@@ -1,0 +1,189 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters dozens of magic numbers through ``functions.py`` (clip
+minimum 15 at functions.py:923/:928, merge window 3 at :851, identity 0.9 at
+:828/:859/:1229, block gap 200 at :450/:464, exon slack 10 at :73, spanning
+trim 5 at :387, same-chrom distance 2000 at :409, candidate dedup window 200 at
+:1226, read-imbalance 10x at :1770, filter thresholds 0.1/0.9 at :1786-1791,
+...).  Every one of them is surfaced here as a named, documented field so the
+TPU pipeline is tunable and the parity contract is explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Scoring and shape parameters of the seed-extend engine.
+
+    Match/mismatch follow bwa-mem's defaults (A=1, B=4); gap open/extend follow
+    bwa's -O6 -E1.  The reference relies on bwa-mem soft-clip boundaries
+    (SURVEY §7.3 item 2); the diagonal+Kadane extension reproduces them for
+    ungapped segments and the banded-SW refiner covers indel-containing reads.
+    """
+
+    match_score: int = 1
+    mismatch_penalty: int = 4
+    gap_open: int = 6
+    gap_extend: int = 1
+    # Max padded read length (101bp reads -> 128 lanes).
+    max_read_len: int = 128
+    # Minimum seeding score (diagonal match count) to consider a diagonal.
+    min_diag_matches: int = 14
+    # Number of top diagonals extended per read per strand.
+    top_diagonals: int = 4
+    # Half-width of the banded-SW refinement band.
+    band_half_width: int = 16
+    # Minimum alignment score to report (bwa mem -T is 30).
+    min_align_score: int = 30
+    # Minimum length of a reported M-segment.
+    min_seg_len: int = 20
+    # k-mer size for genome-scale seeding.
+    genome_kmer: int = 13
+    # Max seed hits per k-mer kept (repeat masking, ~bwa -c / blat repMatch).
+    max_hits_per_kmer: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class StagePreset:
+    """Sensitivity preset for one re-alignment/validation stage.
+
+    The reference runs six BLAT passes with stage-specific knobs
+    (functions.py:341, :530, :966, :1007, :1122, :1244, :1522); each maps to
+    one named preset consumed by the same engine.
+    """
+
+    name: str
+    min_score: int
+    min_identity: float
+    kmer: int
+    step: int = 1
+    max_gap: int = 32
+
+
+# blat -stepSize=3 -repMatch=10000 -minScore=50 -minIdentity=80 (functions.py:341)
+HOMOLOG_PRESET = StagePreset("homolog", min_score=50, min_identity=0.80, kmer=11, step=3)
+# blat -minScore=20 (functions.py:530)
+FINE_BLOCK_PRESET = StagePreset("fine_block", min_score=20, min_identity=0.85, kmer=11, step=5)
+# blat -stepSize=3 -minScore=20 -minMatch=2 -minIdentity=0 (functions.py:966)
+CANDIDATE_LEAK_PRESET = StagePreset("candidate_leak", min_score=20, min_identity=0.0, kmer=11, step=3)
+# blat -stepSize=3 -minScore=12 -minMatch=2 -minIdentity=90 (functions.py:1007,:1071,:1122)
+ANCHORED_SPLIT_PRESET = StagePreset("anchored_split", min_score=12, min_identity=0.90, kmer=8, step=3)
+# blat -stepSize=3 -minScore=20 -minMatch=3 -minIdentity=90 (functions.py:1244)
+JUNCTION_LINEARITY_PRESET = StagePreset("junction_linearity", min_score=20, min_identity=0.90, kmer=11, step=3)
+# blat -stepSize=3 -minScore=0.8*read_len -minMatch=3 -minIdentity=90 -maxGap=1
+# (functions.py:1517-1522); min_score is resolved at runtime from modal read length.
+NEGATIVE_LINEARITY_PRESET = StagePreset("negative_linearity", min_score=0, min_identity=0.90, kmer=13, step=3, max_gap=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CallConfig:
+    """Fusion-calling thresholds (exact parity with the reference heuristics)."""
+
+    # Soft-clip length below which a split read is ignored (functions.py:923,:928).
+    min_clip_len: int = 15
+    # Breakpoint clusters <= this many bp apart are merge candidates (functions.py:851).
+    breakpoint_merge_window: int = 3
+    # Positional-identity threshold for cluster merging (functions.py:828,:859,:1229).
+    merge_identity: float = 0.9
+    # Exon-aware block merge gap in exonic bp (functions.py:450,:464,:484).
+    block_merge_gap: int = 200
+    # Exonic expansion of blocks after merging (functions.py:492-495).
+    block_expand: int = 200
+    # Candidate region flanking pad in bp (functions.py:961-962).
+    candidate_pad: int = 100
+    # Spanning M-run trimmed by this many bp on each side (functions.py:387).
+    spanning_trim: int = 5
+    # Same-chromosome mate pairs closer than this are not spanning evidence
+    # (functions.py:409).
+    min_spanning_distance: int = 2000
+    # +-slack allowed in exon containment queries (functions.py:73-84).
+    exon_slack: int = 10
+    # PSL hits must touch a consensus end within this slack (functions.py:1016-1017).
+    end_touch_slack: int = 5
+    # Splice-extension trigger: breakpoint within this many bp of an exon edge
+    # (functions.py:1029,:1039,:1050,:1060).
+    splice_edge_window: int = 11
+    # Anchor-side consensus must match >= this fraction of its length
+    # (functions.py:1129-1131).
+    anchor_consensus_identity: float = 0.9
+    # Candidate dedup looks back over this many most-recent candidates
+    # (functions.py:1226).
+    candidate_dedup_window: int = 200
+    # Multi-mapper rescue: M-run overlap fraction on both flanks (functions.py:751-756).
+    rescue_overlap_frac: float = 0.2
+    # Spanning/split rebalance trigger ratio (functions.py:1314).
+    rebalance_ratio: int = 3
+    # Report: drop candidates with >= this x read-count imbalance (functions.py:1770).
+    report_imbalance: int = 10
+    # Filter verdict thresholds (functions.py:1786-1791).
+    score_low: float = 0.1
+    score_high: float = 0.9
+    # Candidate genome hits longer than this are ignored in fine blocks
+    # (functions.py:630).
+    fine_block_max_span: int = 200
+    # PSL boundary slack used throughout Find_fine_block (functions.py:633-648).
+    fine_block_slack: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterModelConfig:
+    """Hyper-parameters of the CNN+Transformer filter (Model.py:283-298)."""
+
+    input_dim: int = 6
+    block_dim: int = 256
+    embed_dim: int = 256
+    class_dim: int = 256
+    window: int = 3
+    maxpool_dim: int = 3
+    class_shrink_dim: int = 4
+    transformer_dim: int = 128
+    transformer_heads: int = 2
+    transformer_layers: int = 1
+    num_class: int = 2
+    dropout: float = 0.2
+    len_seq: int = 201
+    # Training (Model.py:283-298)
+    batch_size: int = 256
+    learning_rate: float = 1e-4
+    num_epochs: int = 30
+    train_frac: float = 0.7
+    # Deep-supervision loss mixing (Model.py:287 Loss(0.5, 0.5)).
+    a1: float = 0.5
+    a2: float = 0.5
+    # Head temperatures (Model.py:126-130).
+    aux_temperature: float = 0.25
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout: data-parallel read batches x genome-shard axis."""
+
+    dp_axis: str = "dp"
+    shard_axis: str = "mp"
+    dp_size: int = -1  # -1: all devices on dp
+    shard_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    align: AlignConfig = dataclasses.field(default_factory=AlignConfig)
+    call: CallConfig = dataclasses.field(default_factory=CallConfig)
+    filter_model: FilterModelConfig = dataclasses.field(default_factory=FilterModelConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # Batch of reads processed per device step.
+    read_batch: int = 2048
+    # Run the DL false-positive filter (reference --not_filter_false_positive inverts).
+    filter_false_positive: bool = True
+    # Train the filter on input data (reference --not_train_filter_model inverts).
+    train_filter_model: bool = True
+    model_file: Optional[str] = None
+    # bfloat16 one-hot seeding matmuls (f32 accumulation on MXU).
+    seed_dtype: str = "bfloat16"
+
+
+DEFAULT_CONFIG = PipelineConfig()

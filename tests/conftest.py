@@ -1,0 +1,25 @@
+"""Test config: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware (SURVEY §4: multi-host tests via CPU simulation)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+REFERENCE_TEST_DIR = "/root/reference/test"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_dna(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
