@@ -82,58 +82,64 @@ def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int):
     return W
 
 
-@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch"))
-def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
-                k: int, match: int, mismatch: int):
-    """Both-strand top-k diagonal seeding + Kadane extension.
+def both_strands(reads: jax.Array):
+    """(B, R) -> (2B, R): forward then reverse-complement halves.
 
-    Args:
-      reads:       (B, R) int8.
-      ref:         (L,) int8.
-      seed_matrix: (R*4, L+R-1) prebuilt reference patch matrix.
-    Returns per-read dict (all (B,)): score, strand, read_start, read_end,
-      ref_start, ref_end, matches, length, second_score.
+    Reverse-complemented rows are LEFT-ALIGNED: plain revcomp of a padded row
+    moves the PAD run to the front, which would shift every oriented-read
+    coordinate by the pad width.  Gather each row back so position 0 is the
+    first real base (SAM SEQ convention).
     """
     B, R = reads.shape
-    L = ref.shape[0]
-    # Reverse-complement and LEFT-ALIGN: plain revcomp of a padded row moves
-    # the PAD run to the front, which would shift every oriented-read
-    # coordinate by the pad width.  Gather each row back so position 0 is the
-    # first real base (SAM SEQ convention).
     lens = jnp.sum(reads != PAD, axis=1)
     rc = revcomp(reads)
     gidx = (jnp.arange(R, dtype=jnp.int32)[None, :] + (R - lens)[:, None]) % R
     rc = jnp.take_along_axis(rc, gidx, axis=1)
-    flat = jnp.concatenate([reads, rc], axis=0)            # (2B, R)
-    counts = diag_match_counts_w(flat, seed_matrix)        # (2B, L+R-1)
-    _, idx = jax.lax.top_k(counts, k)                      # (2B, k)
-    offs = idx - (R - 1)                                   # ref offset of read pos 0
+    return jnp.concatenate([reads, rc], axis=0)
+
+
+def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
+                     match: int, mismatch: int):
+    """Kadane extension of candidate diagonals.
+
+    Args:
+      flat: (N, R) oriented reads.
+      ref:  (L,) reference codes.
+      offs: (N, k) candidate ref offsets of read position 0 per read.
+    Returns dict of (N,): score, read_start/end, matches, length, off,
+    second (score of the runner-up candidate).
+    """
+    N, R = flat.shape
+    L = ref.shape[0]
+    k = offs.shape[1]
     pos = offs[:, :, None] + jnp.arange(R, dtype=jnp.int32)[None, None, :]
     valid_ref = (pos >= 0) & (pos < L)
-    win = ref[jnp.clip(pos, 0, L - 1)]                     # (2B, k, R)
+    win = ref[jnp.clip(pos, 0, L - 1)]                     # (N, k, R)
     read_valid = (flat != PAD)[:, None, :]
     valid = valid_ref & read_valid
     sc, ism = kadane.segment_scores(
         jnp.broadcast_to(flat[:, None, :], win.shape), win, valid,
         match=match, mismatch=mismatch)
-    seg = kadane.best_segment(sc, ism)                     # dict of (2B, k)
-    # Best candidate per row; second-best score among the rest.
+    seg = kadane.best_segment(sc, ism)                     # dict of (N, k)
     order = jnp.argsort(-seg["score"], axis=1)
     b1 = order[:, 0]
-    b2 = order[:, jnp.minimum(1, k - 1)]
+    b2 = order[:, min(1, k - 1)]
     take = lambda a, j: jnp.take_along_axis(a, j[:, None], axis=1)[:, 0]
-    score = take(seg["score"], b1)
-    second = jnp.where(k > 1, take(seg["score"], b2), jnp.int32(0))
-    rs = take(seg["start"], b1)
-    re = take(seg["end"], b1)
-    mt = take(seg["matches"], b1)
-    ln = take(seg["length"], b1)
-    off = take(offs, b1)
-    # Fold the two strand halves: pick the higher score (tie -> forward).
-    fwd = {n: v[:B] for n, v in
-           dict(score=score, second=second, rs=rs, re=re, mt=mt, ln=ln, off=off).items()}
-    rev = {n: v[B:] for n, v in
-           dict(score=score, second=second, rs=rs, re=re, mt=mt, ln=ln, off=off).items()}
+    return {
+        "score": take(seg["score"], b1),
+        "second": take(seg["score"], b2) if k > 1 else jnp.zeros(N, jnp.int32),
+        "rs": take(seg["start"], b1),
+        "re": take(seg["end"], b1),
+        "mt": take(seg["matches"], b1),
+        "ln": take(seg["length"], b1),
+        "off": take(offs, b1),
+    }
+
+
+def fold_strands(cand: dict, B: int):
+    """Fold the (2B,) forward/revcomp candidate halves into per-read records."""
+    fwd = {n: v[:B] for n, v in cand.items()}
+    rev = {n: v[B:] for n, v in cand.items()}
     use_rev = rev["score"] > fwd["score"]
     pick = lambda n: jnp.where(use_rev, rev[n], fwd[n])
     out = {
@@ -151,6 +157,27 @@ def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
     out["ref_start"] = off_best + out["read_start"]
     out["ref_end"] = off_best + out["read_end"]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch"))
+def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
+                k: int, match: int, mismatch: int):
+    """Both-strand top-k diagonal seeding + Kadane extension.
+
+    Args:
+      reads:       (B, R) int8.
+      ref:         (L,) int8.
+      seed_matrix: (R*4, L+R-1) prebuilt reference patch matrix.
+    Returns per-read dict (all (B,)): score, strand, read_start, read_end,
+      ref_start, ref_end, matches, length, second_score.
+    """
+    B, R = reads.shape
+    flat = both_strands(reads)                             # (2B, R)
+    counts = diag_match_counts_w(flat, seed_matrix)        # (2B, L+R-1)
+    _, idx = jax.lax.top_k(counts, k)                      # (2B, k)
+    offs = idx - (R - 1)                                   # ref offset of read pos 0
+    cand = extend_diagonals(flat, ref, offs, match, mismatch)
+    return fold_strands(cand, B)
 
 
 def align_to_reference(

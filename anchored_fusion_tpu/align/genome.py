@@ -1,0 +1,104 @@
+"""Genome-scale read alignment: k-mer seeding + Kadane extension.
+
+The genome-side counterpart of ``align_to_reference``: replaces every
+``bwa mem``/BLAT invocation against the whole-genome reference (mate rescue
+Anchored_Fusion.py:188, multi-mapper rescue functions.py:716, fine blocks
+:530, junction linearity :1244, negative mining :1522).  Seeds come from the
+sorted k-mer index (index/kmer.py) instead of the all-diagonal matmul; the
+extension path (Kadane over gathered windows, strand folding) is shared with
+the small-reference engine, so both emit identical AlignmentResult records.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anchored_fusion_tpu.config import AlignConfig
+from anchored_fusion_tpu.io.fasta import Reference
+from anchored_fusion_tpu.index.kmer import (
+    KmerIndex, pack_read_kmers, lookup_hits, vote_diagonals)
+from anchored_fusion_tpu.ops.encode import PAD
+from anchored_fusion_tpu.align.aligner import (
+    AlignmentResult, both_strands, extend_diagonals, fold_strands)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
+def _genome_align_core(reads, ref, index_keys, index_pos, offsets,
+                       k: int, max_hits: int, top_k: int, match: int, mismatch: int):
+    B, R = reads.shape
+    flat = both_strands(reads)                               # (2B, R)
+    keys, kvalid = pack_read_kmers(flat, offsets, k)         # (2B, Q)
+    pos, hvalid = lookup_hits(index_keys, index_pos, keys, kvalid, max_hits)
+    # candidate diagonal = hit position - k-mer offset in read
+    diags = pos - offsets[None, :, None]                     # (2B, Q, H)
+    C = diags.shape[1] * diags.shape[2]
+    diag, votes = vote_diagonals(diags.reshape(2 * B, C),
+                                 hvalid.reshape(2 * B, C), top_k)
+    offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
+    cand = extend_diagonals(flat, ref, offs, match, mismatch)
+    return fold_strands(cand, B)
+
+
+class GenomeAligner:
+    """Holds the genome codes + k-mer index and aligns read batches."""
+
+    def __init__(self, reference: Reference, cfg: Optional[AlignConfig] = None,
+                 kmer: Optional[int] = None, stride: Optional[int] = None):
+        self.cfg = cfg or AlignConfig()
+        self.reference = reference
+        self.k = kmer or self.cfg.genome_kmer
+        self.stride = stride or max(1, self.k // 2)
+        self.codes = jnp.asarray(reference.seq)
+        self.index = KmerIndex.build(reference.seq, self.k)
+
+    def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
+              min_identity: float = 0.0, min_seg_len: Optional[int] = None,
+              top_k: Optional[int] = None, max_hits: Optional[int] = None,
+              chunk: int = 2048) -> AlignmentResult:
+        cfg = self.cfg
+        if min_score is None:
+            min_score = cfg.min_align_score
+        if min_seg_len is None:
+            min_seg_len = cfg.min_seg_len
+        top_k = top_k or cfg.top_diagonals
+        max_hits = max_hits or cfg.max_hits_per_kmer
+        seqs = np.asarray(seqs, dtype=np.int8)
+        if seqs.ndim == 1:
+            seqs = seqs[None]
+        B, R = seqs.shape
+        offsets = jnp.arange(0, R - self.k + 1, self.stride, dtype=jnp.int32)
+        outs = []
+        for lo in range(0, B, chunk):
+            sub = seqs[lo:lo + chunk]
+            n_real = sub.shape[0]
+            if n_real < chunk and B > chunk:
+                sub = np.concatenate(
+                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            res = _genome_align_core(
+                jnp.asarray(sub), self.codes, self.index.keys_sorted,
+                self.index.pos_sorted, offsets, self.k, max_hits, top_k,
+                cfg.match_score, cfg.mismatch_penalty)
+            outs.append({n: np.asarray(v)[:n_real] for n, v in res.items()})
+        cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
+        length = cat["length"]
+        matches = cat["matches"]
+        ident = matches / np.maximum(length, 1)
+        mapped = ((cat["score"] >= min_score) & (length >= min_seg_len)
+                  & (ident >= min_identity))
+        return AlignmentResult(
+            score=cat["score"].astype(np.int32),
+            strand=cat["strand"].astype(np.int8),
+            read_start=cat["read_start"].astype(np.int32),
+            read_end=cat["read_end"].astype(np.int32),
+            ref_start=cat["ref_start"].astype(np.int64),
+            ref_end=cat["ref_end"].astype(np.int64),
+            matches=matches.astype(np.int32),
+            length=length.astype(np.int32),
+            second_score=cat["second_score"].astype(np.int32),
+            mapped=mapped,
+        )

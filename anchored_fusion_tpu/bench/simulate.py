@@ -1,0 +1,153 @@
+"""Synthetic genomes and wgsim-style paired-end read simulation.
+
+Covers the reference's benchmark generator (utils/simulate_reads.py: wgsim
+``-d 200 -1 101 -2 101`` over fusion transcripts at coverages 2x-128x) and
+additionally builds fully synthetic genome+GTF fixtures so the genome-side
+pipeline (blocks, candidate validation, homolog masking, negative mining) can
+be tested hermetically — the real hg38 is not available in this environment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from anchored_fusion_tpu.io.fasta import Reference, reference_from_dict
+from anchored_fusion_tpu.ops.encode import encode_ascii, decode_to_str, revcomp
+
+_BASES = np.array(list("ACGT"))
+
+
+def random_seq(rng: np.random.Generator, n: int) -> str:
+    return "".join(_BASES[rng.integers(0, 4, n)])
+
+
+@dataclasses.dataclass
+class SynthGene:
+    name: str
+    chrom: str
+    strand: str
+    exons: List[Tuple[int, int]]  # 1-based inclusive, genomic order
+
+    def transcript(self, genome: Reference) -> str:
+        parts = [genome.fetch_str(self.chrom, s, e) for s, e in self.exons]
+        tx = "".join(parts)
+        if self.strand == "-":
+            tx = decode_to_str(revcomp(encode_ascii(tx)))
+        return tx
+
+
+@dataclasses.dataclass
+class SynthGenome:
+    genome: Reference
+    genes: Dict[str, SynthGene]
+    gtf_dic: Dict[str, List[List]]  # ExonIndex input format
+
+    def gene_rows(self):
+        """(chrom, start, end, gene_id, gene_name, strand) rows for homolog mask."""
+        rows = []
+        for g in self.genes.values():
+            rows.append((g.chrom, g.exons[0][0], g.exons[-1][1],
+                         f"ENSG_{g.name}", g.name, g.strand))
+        return rows
+
+
+def make_synthetic_genome(
+    rng: np.random.Generator,
+    n_genes: int = 6,
+    exons_per_gene: Tuple[int, int] = (3, 6),
+    exon_len: Tuple[int, int] = (150, 400),
+    intron_len: Tuple[int, int] = (200, 800),
+    intergenic: Tuple[int, int] = (500, 1500),
+    chrom: str = "chr1",
+    gene_prefix: str = "GENE",
+) -> SynthGenome:
+    """A single-chromosome genome with spliced genes and a matching exon dict."""
+    parts: List[str] = []
+    pos = 1
+    genes: Dict[str, SynthGene] = {}
+    gtf: Dict[str, List[List]] = {chrom: []}
+    for gi in range(n_genes):
+        gap = int(rng.integers(*intergenic))
+        parts.append(random_seq(rng, gap))
+        pos += gap
+        name = f"{gene_prefix}{gi}"
+        n_ex = int(rng.integers(exons_per_gene[0], exons_per_gene[1] + 1))
+        exons = []
+        for ei in range(n_ex):
+            el = int(rng.integers(*exon_len))
+            parts.append(random_seq(rng, el))
+            exons.append((pos, pos + el - 1))
+            pos += el
+            if ei != n_ex - 1:
+                il = int(rng.integers(*intron_len))
+                parts.append(random_seq(rng, il))
+                pos += il
+        strand = "+" if rng.integers(0, 2) == 0 else "-"
+        genes[name] = SynthGene(name, chrom, strand, exons)
+        for s, e in exons:
+            gtf[chrom].append([s, e, f"ENSG_{name}", name])
+    parts.append(random_seq(rng, 500))
+    genome = reference_from_dict({chrom: "".join(parts)})
+    return SynthGenome(genome, genes, gtf)
+
+
+def fuse_transcripts(tx5: str, tx3: str, break5: int, break3: int) -> str:
+    """Fusion mRNA: 5' partner up to ``break5`` + 3' partner from ``break3``
+    (both 1-based transcript coordinates; junction after ``break5``)."""
+    return tx5[:break5] + tx3[break3 - 1:]
+
+
+def simulate_pairs(
+    rng: np.random.Generator,
+    transcript: str,
+    n_pairs: int,
+    read_len: int = 101,
+    insert: int = 200,
+    insert_sd: int = 20,
+    error_rate: float = 0.001,
+    name_prefix: str = "sim",
+) -> Tuple[List[str], List[str], List[str]]:
+    """wgsim-style pairs: (names, mate1 seqs, mate2 seqs).
+
+    Fragment of ~``insert`` bp sampled uniformly; mate1 = 5' end forward,
+    mate2 = 3' end reverse-complemented (utils/simulate_reads.py:20 flags).
+    """
+    L = len(transcript)
+    names, r1, r2 = [], [], []
+    enc = encode_ascii(transcript)
+    for i in range(n_pairs):
+        ins = max(read_len, int(rng.normal(insert, insert_sd)))
+        ins = min(ins, L)
+        start = int(rng.integers(0, L - ins + 1))
+        frag = enc[start:start + ins]
+        m1 = frag[:read_len].copy()
+        m2 = revcomp(frag[-read_len:]).copy()
+        for m in (m1, m2):
+            errs = np.nonzero(rng.random(read_len) < error_rate)[0]
+            for e in errs:
+                m[e] = (m[e] + int(rng.integers(1, 4))) % 4
+        names.append(f"{name_prefix}_{start}_{start+ins}_{i}")
+        r1.append(decode_to_str(m1))
+        r2.append(decode_to_str(m2))
+    return names, r1, r2
+
+
+def coverage_to_pairs(transcript_len: int, coverage: float, read_len: int = 101) -> int:
+    """N = ceil(L * coverage / (2 * read_len)) (wgsim -N convention)."""
+    return int(np.ceil(transcript_len * coverage / (2 * read_len)))
+
+
+def write_fastq_pair(path1: str, path2: str, names: Sequence[str],
+                     r1: Sequence[str], r2: Sequence[str]):
+    """Write simulated reads as a (possibly gzipped) FASTQ pair."""
+    def _dump(path, seqs, mate):
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "wt") as fh:
+            for n, s in zip(names, seqs):
+                fh.write(f"@{n}/{mate}\n{s}\n+\n{'I' * len(s)}\n")
+    _dump(path1, r1, 1)
+    _dump(path2, r2, 2)

@@ -1,0 +1,89 @@
+import numpy as np
+import jax.numpy as jnp
+
+from anchored_fusion_tpu.index.kmer import (
+    KmerIndex, pack_kmers_host, pack_read_kmers, lookup_hits, vote_diagonals)
+from anchored_fusion_tpu.align.genome import GenomeAligner
+from anchored_fusion_tpu.io.fasta import reference_from_dict
+from anchored_fusion_tpu.ops.encode import encode_ascii, decode_to_str, revcomp
+from anchored_fusion_tpu.bench.simulate import make_synthetic_genome, random_seq
+
+
+def test_pack_kmers_host_basic():
+    codes = encode_ascii("ACGTACGT")
+    keys = pack_kmers_host(codes, 4)
+    assert len(keys) == 5
+    # ACGT = 0*64 + 1*16 + 2*4 + 3 = 27
+    assert keys[0] == 27
+    assert keys[4] == 27
+    # N poisons its windows
+    keys = pack_kmers_host(encode_ascii("ACGTNACGT"), 4)
+    assert (keys[1:5] == -1).all()
+    assert keys[0] == 27 and keys[5] == 27
+
+
+def test_kmer_index_lookup():
+    rng = np.random.default_rng(1)
+    seq = random_seq(rng, 5000)
+    ref = reference_from_dict({"c": seq})
+    idx = KmerIndex.build(ref.seq, 13)
+    # query a k-mer that occurs at position 1234
+    reads = encode_ascii(seq[1234:1234 + 13], length=16)[None]
+    keys, valid = pack_read_kmers(jnp.asarray(reads), jnp.asarray([0], dtype=jnp.int32), 13)
+    pos, ok = lookup_hits(idx.keys_sorted, idx.pos_sorted, keys, valid, 8)
+    hits = np.asarray(pos)[np.asarray(ok)]
+    assert 1234 in hits
+
+
+def test_vote_diagonals():
+    diags = jnp.asarray([[100, 100, 100, 250, 250, 7, 0]])
+    valid = jnp.asarray([[True, True, True, True, True, True, False]])
+    d, v = vote_diagonals(diags, valid, 3)
+    d, v = np.asarray(d), np.asarray(v)
+    assert d[0, 0] == 100 and v[0, 0] == 3
+    assert d[0, 1] == 250 and v[0, 1] == 2
+    assert v[0, 2] == 1 and d[0, 2] == 7
+
+
+def test_genome_aligner_exact_and_rc():
+    rng = np.random.default_rng(2)
+    seq = random_seq(rng, 50_000)
+    ref = reference_from_dict({"c": seq})
+    ga = GenomeAligner(ref)
+    fwd = encode_ascii(seq[30_000:30_101], length=128)
+    rc = encode_ascii(decode_to_str(revcomp(encode_ascii(seq[40_000:40_101]))), length=128)
+    res = ga.align(np.stack([fwd, rc]))
+    assert res.mapped.all()
+    assert res.strand[0] == 0 and res.ref_start[0] == 30_000 and res.ref_end[0] == 30_100
+    assert res.strand[1] == 1 and res.ref_start[1] == 40_000 and res.ref_end[1] == 40_100
+
+
+def test_genome_aligner_chimeric_clip():
+    rng = np.random.default_rng(3)
+    seq = random_seq(rng, 60_000)
+    ref = reference_from_dict({"c": seq})
+    ga = GenomeAligner(ref)
+    # read: 50bp from locus A + 51bp from locus B (a genomic chimera)
+    read = seq[10_000:10_050] + seq[45_000:45_051]
+    res = ga.align(encode_ascii(read, length=128)[None], min_score=20)
+    assert res.mapped[0]
+    # best single segment covers one side only
+    assert res.length[0] in range(45, 57)
+
+
+def test_genome_aligner_on_synthetic_gene_transcript():
+    """Reads from a spliced transcript align exon-locally on the genome."""
+    rng = np.random.default_rng(4)
+    sg = make_synthetic_genome(rng, n_genes=4)
+    gene = sg.genes["GENE0"]
+    tx = gene.transcript(sg.genome)
+    # take a read fully inside the first exon
+    ex_s, ex_e = gene.exons[0]
+    if gene.strand == "-":
+        ex_s, ex_e = gene.exons[-1]
+    exon_seq = sg.genome.fetch_str("chr1", ex_s, ex_e)
+    read = exon_seq[10:10 + 101]
+    ga = GenomeAligner(sg.genome)
+    res = ga.align(encode_ascii(read, length=128)[None])
+    assert res.mapped[0]
+    assert res.ref_start[0] == sg.genome.to_global("chr1", ex_s) + 10
