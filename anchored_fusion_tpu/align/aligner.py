@@ -71,11 +71,11 @@ class AlignmentResult:
 _SEED_CACHE: dict = {}
 
 
-def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int):
-    key = (id(ref_codes), int(np.asarray(ref_codes).shape[0]), read_len)
+def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int, stride: int = 1):
+    key = (id(ref_codes), int(np.asarray(ref_codes).shape[0]), read_len, stride)
     W = _SEED_CACHE.get(key)
     if W is None:
-        W = build_seed_matrix(np.asarray(ref_codes), read_len)
+        W = build_seed_matrix(np.asarray(ref_codes), read_len, stride=stride)
         if len(_SEED_CACHE) > 16:
             _SEED_CACHE.clear()
         _SEED_CACHE[key] = W
@@ -83,44 +83,64 @@ def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int):
 
 
 def both_strands(reads: jax.Array):
-    """(B, R) -> (2B, R): forward then reverse-complement halves.
+    """(B, R) -> ((2B, R) oriented reads, (2B,) coordinate offsets).
 
-    Reverse-complemented rows are LEFT-ALIGNED: plain revcomp of a padded row
-    moves the PAD run to the front, which would shift every oriented-read
-    coordinate by the pad width.  Gather each row back so position 0 is the
-    first real base (SAM SEQ convention).
+    Forward half then reverse-complement half.  The reverse complement is
+    computed gather-free (flip + arithmetic complement), which leaves the PAD
+    run at the FRONT of each reverse row; instead of rolling rows left (a
+    slow per-row gather on TPU), the per-row pad width is returned as a
+    coordinate offset that :func:`fold_strands` subtracts from read
+    coordinates — equivalent to left-aligned rows, at zero gather cost.
     """
     B, R = reads.shape
     lens = jnp.sum(reads != PAD, axis=1)
-    rc = revcomp(reads)
-    gidx = (jnp.arange(R, dtype=jnp.int32)[None, :] + (R - lens)[:, None]) % R
-    rc = jnp.take_along_axis(rc, gidx, axis=1)
-    return jnp.concatenate([reads, rc], axis=0)
+    rc = jnp.flip(jnp.where(reads < 4, 3 - reads, reads), axis=1)
+    flat = jnp.concatenate([reads, rc], axis=0)
+    coord_off = jnp.concatenate([jnp.zeros(B, jnp.int32),
+                                 (R - lens).astype(jnp.int32)], axis=0)
+    return flat, coord_off
 
 
-def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
-                     match: int, mismatch: int):
-    """Kadane extension of candidate diagonals.
+def extend_diagonals_all(flat: jax.Array, ref: jax.Array, offs: jax.Array,
+                         match: int, mismatch: int):
+    """Kadane extension of every candidate diagonal (multi-hit, BLAT-like).
 
     Args:
       flat: (N, R) oriented reads.
       ref:  (L,) reference codes.
       offs: (N, k) candidate ref offsets of read position 0 per read.
+    Returns dict of (N, k): score, start, end, matches, length — read-frame
+    coordinates of each candidate's best segment.
+    """
+    N, R = flat.shape
+    L = ref.shape[0]
+    # Window extraction as contiguous dynamic slices from a PAD-guarded
+    # reference: lowers to a slice-gather (one 128-wide row per candidate)
+    # instead of an elementwise gather of N*k*R scalars, which is ~10x slower
+    # on TPU.  Out-of-range positions read PAD and are masked invalid.
+    refp = jnp.concatenate(
+        [jnp.full(R, PAD, jnp.int8), ref, jnp.full(R, PAD, jnp.int8)])
+    start = jnp.clip(offs + R, 0, L + R).astype(jnp.int32)
+    win = jax.vmap(jax.vmap(
+        lambda s: jax.lax.dynamic_slice(refp, (s,), (R,))))(start)  # (N, k, R)
+    read_valid = (flat != PAD)[:, None, :]
+    valid = (win != PAD) & read_valid
+    sc, ism = kadane.segment_scores(
+        jnp.broadcast_to(flat[:, None, :], win.shape), win, valid,
+        match=match, mismatch=mismatch)
+    return kadane.best_segment(sc, ism)                    # dict of (N, k)
+
+
+def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
+                     match: int, mismatch: int):
+    """Best-hit Kadane extension (see :func:`extend_diagonals_all`).
+
     Returns dict of (N,): score, read_start/end, matches, length, off,
     second (score of the runner-up candidate).
     """
     N, R = flat.shape
-    L = ref.shape[0]
     k = offs.shape[1]
-    pos = offs[:, :, None] + jnp.arange(R, dtype=jnp.int32)[None, None, :]
-    valid_ref = (pos >= 0) & (pos < L)
-    win = ref[jnp.clip(pos, 0, L - 1)]                     # (N, k, R)
-    read_valid = (flat != PAD)[:, None, :]
-    valid = valid_ref & read_valid
-    sc, ism = kadane.segment_scores(
-        jnp.broadcast_to(flat[:, None, :], win.shape), win, valid,
-        match=match, mismatch=mismatch)
-    seg = kadane.best_segment(sc, ism)                     # dict of (N, k)
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
     order = jnp.argsort(-seg["score"], axis=1)
     b1 = order[:, 0]
     b2 = order[:, min(1, k - 1)]
@@ -136,32 +156,40 @@ def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
     }
 
 
-def fold_strands(cand: dict, B: int):
-    """Fold the (2B,) forward/revcomp candidate halves into per-read records."""
+def fold_strands(cand: dict, B: int, coord_off: jax.Array):
+    """Fold the (2B,) forward/revcomp candidate halves into per-read records.
+
+    ``coord_off`` (from :func:`both_strands`) converts raw reverse-row
+    coordinates (PAD-prefixed) into the left-aligned oriented-read convention;
+    reference coordinates use the raw values, so they are unaffected.
+    """
     fwd = {n: v[:B] for n, v in cand.items()}
     rev = {n: v[B:] for n, v in cand.items()}
     use_rev = rev["score"] > fwd["score"]
     pick = lambda n: jnp.where(use_rev, rev[n], fwd[n])
+    off_best = pick("off")
+    rs_raw = pick("rs")
+    re_raw = pick("re")
+    co = jnp.where(use_rev, coord_off[B:], coord_off[:B])
     out = {
         "score": pick("score"),
         "strand": use_rev.astype(jnp.int8),
-        "read_start": pick("rs"),
-        "read_end": pick("re"),
+        "read_start": rs_raw - co,
+        "read_end": re_raw - co,
         "matches": pick("mt"),
         "length": pick("ln"),
         "second_score": jnp.maximum(
             jnp.where(use_rev, rev["second"], fwd["second"]),
             jnp.where(use_rev, fwd["score"], rev["score"])),
+        "ref_start": off_best + rs_raw,
+        "ref_end": off_best + re_raw,
     }
-    off_best = pick("off")
-    out["ref_start"] = off_best + out["read_start"]
-    out["ref_end"] = off_best + out["read_end"]
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch"))
+@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch", "stride"))
 def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
-                k: int, match: int, mismatch: int):
+                k: int, match: int, mismatch: int, stride: int = 1):
     """Both-strand top-k diagonal seeding + Kadane extension.
 
     Args:
@@ -172,12 +200,126 @@ def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
       ref_start, ref_end, matches, length, second_score.
     """
     B, R = reads.shape
-    flat = both_strands(reads)                             # (2B, R)
-    counts = diag_match_counts_w(flat, seed_matrix)        # (2B, L+R-1)
+    flat, coord_off = both_strands(reads)                  # (2B, R)
+    counts = diag_match_counts_w(flat, seed_matrix, stride=stride)
     _, idx = jax.lax.top_k(counts, k)                      # (2B, k)
     offs = idx - (R - 1)                                   # ref offset of read pos 0
     cand = extend_diagonals(flat, ref, offs, match, mismatch)
-    return fold_strands(cand, B)
+    return fold_strands(cand, B, coord_off)
+
+
+@dataclasses.dataclass
+class MultiHits:
+    """Flat multi-hit records (BLAT-PSL-like), host-side numpy.
+
+    ``q_start``/``q_end`` are 0-based inclusive in the FORWARD query frame
+    (PSL convention: query coordinates are never strand-flipped), so consumers
+    can reason about which part of the original sequence each hit covers
+    (Find_fine_block functions.py:629-649, junction check :1267-1287).
+    """
+
+    read_id: np.ndarray    # (M,) int32 index into the query batch
+    strand: np.ndarray     # (M,) int8
+    score: np.ndarray      # (M,) int32
+    matches: np.ndarray    # (M,) int32
+    length: np.ndarray     # (M,) int32
+    q_start: np.ndarray    # (M,) int32
+    q_end: np.ndarray      # (M,) int32
+    ref_start: np.ndarray  # (M,) int64
+    ref_end: np.ndarray    # (M,) int64
+
+
+@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch", "stride"))
+def _align_multi_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
+                      k: int, match: int, mismatch: int, stride: int = 1):
+    B, R = reads.shape
+    flat, _ = both_strands(reads)
+    counts = diag_match_counts_w(flat, seed_matrix, stride=stride)
+    _, idx = jax.lax.top_k(counts, k)
+    offs = idx - (R - 1)
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
+    seg["off"] = offs
+    return seg
+
+
+def _flatten_multi(seg: dict, read_lens: np.ndarray, B: int, k: int,
+                   min_score: int, min_identity: float, min_seg_len: int,
+                   read_width: int) -> MultiHits:
+    """(2B, k) device candidates -> filtered flat MultiHits with PSL q-frame.
+
+    Reverse-half rows come PAD-prefixed from :func:`both_strands`; their raw
+    coordinates are shifted by the pad width into the left-aligned oriented
+    frame before the forward-q-frame conversion (reference coordinates use
+    the raw values and are unaffected).
+    """
+    score = np.asarray(seg["score"]).reshape(2, B, k)
+    start = np.asarray(seg["start"]).reshape(2, B, k)
+    end = np.asarray(seg["end"]).reshape(2, B, k)
+    matches = np.asarray(seg["matches"]).reshape(2, B, k)
+    length = np.asarray(seg["length"]).reshape(2, B, k)
+    off = np.asarray(seg["off"]).reshape(2, B, k)
+    lens = read_lens[None, :, None]
+    ident = matches / np.maximum(length, 1)
+    keep = (score >= min_score) & (length >= min_seg_len) & (ident >= min_identity)
+    # dedup identical (strand, offset) candidates emerging from adjacent
+    # diagonal seeds converging to the same segment
+    srt = np.argsort(off, axis=2, kind="stable")
+    off_s = np.take_along_axis(off, srt, 2)
+    st_s = np.take_along_axis(start, srt, 2)
+    dup = np.zeros_like(keep)
+    dup[:, :, 1:] = (off_s[:, :, 1:] == off_s[:, :, :-1]) & (st_s[:, :, 1:] == st_s[:, :, :-1])
+    undup = np.ones_like(keep)
+    np.put_along_axis(undup, srt, ~dup, 2)
+    keep &= undup
+    s_idx, b_idx, _ = np.nonzero(keep)
+    strand = s_idx.astype(np.int8)
+    rs_raw, re_raw = start[keep], end[keep]
+    ln = np.broadcast_to(lens, score.shape)[keep]
+    pad = np.where(strand == 1, read_width - ln, 0)
+    rs = rs_raw - pad
+    re = re_raw - pad
+    q_start = np.where(strand == 0, rs, ln - 1 - re)
+    q_end = np.where(strand == 0, re, ln - 1 - rs)
+    return MultiHits(
+        read_id=b_idx.astype(np.int32),
+        strand=strand,
+        score=score[keep].astype(np.int32),
+        matches=matches[keep].astype(np.int32),
+        length=length[keep].astype(np.int32),
+        q_start=q_start.astype(np.int32),
+        q_end=q_end.astype(np.int32),
+        ref_start=(off[keep] + rs_raw).astype(np.int64),
+        ref_end=(off[keep] + re_raw).astype(np.int64),
+    )
+
+
+def align_to_reference_multi(
+    seqs: np.ndarray,
+    ref_codes: np.ndarray,
+    cfg: Optional[AlignConfig] = None,
+    min_score: int = 20,
+    min_identity: float = 0.0,
+    min_seg_len: int = 10,
+    top_k: int = 8,
+) -> MultiHits:
+    """All-hits alignment against a small reference (one BLAT pass).
+
+    Queries may be arbitrary consensus sequences; they are padded to a lane
+    multiple internally.
+    """
+    cfg = cfg or AlignConfig()
+    seqs = np.asarray(seqs, dtype=np.int8)
+    if seqs.ndim == 1:
+        seqs = seqs[None]
+    B, R = seqs.shape
+    read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
+    stride = getattr(cfg, "seed_stride", 1)
+    W = _seed_matrix_cached(ref_codes, R, stride)
+    seg = _align_multi_core(jnp.asarray(seqs), jnp.asarray(ref_codes, jnp.int8),
+                            W, top_k, cfg.match_score, cfg.mismatch_penalty,
+                            stride)
+    return _flatten_multi({n: v for n, v in seg.items()}, read_lens, B, top_k,
+                          min_score, min_identity, min_seg_len, R)
 
 
 def align_to_reference(
@@ -208,7 +350,8 @@ def align_to_reference(
         seqs = seqs[None]
     B, R = seqs.shape
     ref = jnp.asarray(ref_codes, dtype=jnp.int8)
-    W = _seed_matrix_cached(ref_codes, R)
+    stride = getattr(cfg, "seed_stride", 1)
+    W = _seed_matrix_cached(ref_codes, R, stride)
     outs = []
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
@@ -218,7 +361,7 @@ def align_to_reference(
             sub = np.concatenate(
                 [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
         res = _align_core(jnp.asarray(sub), ref, W, top_k,
-                          cfg.match_score, cfg.mismatch_penalty)
+                          cfg.match_score, cfg.mismatch_penalty, stride)
         outs.append({n: np.asarray(v)[:n_real] for n, v in res.items()})
     if not outs:
         z = lambda dt: np.zeros(0, dt)

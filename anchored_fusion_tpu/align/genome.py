@@ -11,6 +11,7 @@ the small-reference engine, so both emit identical AlignmentResult records.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -24,14 +25,15 @@ from anchored_fusion_tpu.index.kmer import (
     KmerIndex, pack_read_kmers, lookup_hits, vote_diagonals)
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
-    AlignmentResult, both_strands, extend_diagonals, fold_strands)
+    AlignmentResult, MultiHits, both_strands, extend_diagonals,
+    extend_diagonals_all, fold_strands, _flatten_multi)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
 def _genome_align_core(reads, ref, index_keys, index_pos, offsets,
                        k: int, max_hits: int, top_k: int, match: int, mismatch: int):
     B, R = reads.shape
-    flat = both_strands(reads)                               # (2B, R)
+    flat, coord_off = both_strands(reads)                    # (2B, R)
     keys, kvalid = pack_read_kmers(flat, offsets, k)         # (2B, Q)
     pos, hvalid = lookup_hits(index_keys, index_pos, keys, kvalid, max_hits)
     # candidate diagonal = hit position - k-mer offset in read
@@ -41,7 +43,25 @@ def _genome_align_core(reads, ref, index_keys, index_pos, offsets,
                                  hvalid.reshape(2 * B, C), top_k)
     offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
     cand = extend_diagonals(flat, ref, offs, match, mismatch)
-    return fold_strands(cand, B)
+    return fold_strands(cand, B, coord_off)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
+def _genome_align_multi_core(reads, ref, index_keys, index_pos, offsets,
+                             k: int, max_hits: int, top_k: int,
+                             match: int, mismatch: int):
+    B, R = reads.shape
+    flat, _ = both_strands(reads)
+    keys, kvalid = pack_read_kmers(flat, offsets, k)
+    pos, hvalid = lookup_hits(index_keys, index_pos, keys, kvalid, max_hits)
+    diags = pos - offsets[None, :, None]
+    C = diags.shape[1] * diags.shape[2]
+    diag, votes = vote_diagonals(diags.reshape(2 * B, C),
+                                 hvalid.reshape(2 * B, C), top_k)
+    offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
+    seg["off"] = offs
+    return seg
 
 
 class GenomeAligner:
@@ -102,3 +122,39 @@ class GenomeAligner:
             second_score=cat["second_score"].astype(np.int32),
             mapped=mapped,
         )
+
+    def align_multi(self, seqs: np.ndarray, min_score: int = 20,
+                    min_identity: float = 0.0, min_seg_len: int = 10,
+                    top_k: int = 8, max_hits: Optional[int] = None,
+                    chunk: int = 1024) -> MultiHits:
+        """All-hits genome alignment (one BLAT pass over the genome)."""
+        cfg = self.cfg
+        max_hits = max_hits or cfg.max_hits_per_kmer
+        seqs = np.asarray(seqs, dtype=np.int8)
+        if seqs.ndim == 1:
+            seqs = seqs[None]
+        B, R = seqs.shape
+        offsets = jnp.arange(0, R - self.k + 1, self.stride, dtype=jnp.int32)
+        parts = []
+        for lo in range(0, B, chunk):
+            sub = seqs[lo:lo + chunk]
+            n_real = sub.shape[0]
+            if n_real < chunk and B > chunk:
+                sub = np.concatenate(
+                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            seg = _genome_align_multi_core(
+                jnp.asarray(sub), self.codes, self.index.keys_sorted,
+                self.index.pos_sorted, offsets, self.k, max_hits, top_k,
+                cfg.match_score, cfg.mismatch_penalty)
+            read_lens = (sub != PAD).sum(axis=1).astype(np.int32)
+            mh = _flatten_multi({n: v for n, v in seg.items()}, read_lens,
+                                sub.shape[0], top_k, min_score, min_identity,
+                                min_seg_len, R)
+            sel = mh.read_id < n_real
+            parts.append(MultiHits(**{
+                f.name: getattr(mh, f.name)[sel] if f.name != "read_id"
+                else mh.read_id[sel] + lo
+                for f in dataclasses.fields(MultiHits)}))
+        return MultiHits(**{
+            f.name: np.concatenate([getattr(p, f.name) for p in parts])
+            for f in dataclasses.fields(MultiHits)})

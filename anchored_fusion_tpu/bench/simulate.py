@@ -31,6 +31,9 @@ class SynthGene:
     chrom: str
     strand: str
     exons: List[Tuple[int, int]]  # 1-based inclusive, genomic order
+    # gene_id must look like a real Ensembl id (ENSG<digits>...) so the GTF
+    # gene-row regex of the homolog mask matches it (functions.py:358 parity)
+    gene_id: str = ""
 
     def transcript(self, genome: Reference) -> str:
         parts = [genome.fetch_str(self.chrom, s, e) for s, e in self.exons]
@@ -51,8 +54,34 @@ class SynthGenome:
         rows = []
         for g in self.genes.values():
             rows.append((g.chrom, g.exons[0][0], g.exons[-1][1],
-                         f"ENSG_{g.name}", g.name, g.strand))
+                         g.gene_id, g.name, g.strand))
         return rows
+
+
+def write_gtf(sg: "SynthGenome", path: str):
+    """Emit the synthetic annotation as a GTF the CLI/ExonIndex can parse."""
+    with open(path, "w") as fh:
+        fh.write("##synthetic annotation\n")
+        for g in sg.genes.values():
+            gid = g.gene_id
+            # GENCODE-style attribute order: the reference's gene-row regex
+            # (functions.py:358) requires at least one attribute between
+            # gene_id and gene_name.
+            attrs = (f'gene_id "{gid}"; transcript_id "{gid}.t1"; '
+                     f'gene_type "protein_coding"; gene_name "{g.name}"; '
+                     f'transcript_type "protein_coding";')
+            fh.write(f"{g.chrom}\tsynth\tgene\t{g.exons[0][0]}\t{g.exons[-1][1]}"
+                     f"\t.\t{g.strand}\t.\t{attrs}\n")
+            for s, e in g.exons:
+                fh.write(f"{g.chrom}\tsynth\texon\t{s}\t{e}\t.\t{g.strand}\t.\t{attrs}\n")
+
+
+def write_fasta(name_to_seq, path: str):
+    with open(path, "w") as fh:
+        for name, seq in name_to_seq.items():
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i:i + 70] + "\n")
 
 
 def make_synthetic_genome(
@@ -87,9 +116,10 @@ def make_synthetic_genome(
                 parts.append(random_seq(rng, il))
                 pos += il
         strand = "+" if rng.integers(0, 2) == 0 else "-"
-        genes[name] = SynthGene(name, chrom, strand, exons)
+        gene_id = f"ENSG{gi:06d}.{name}"
+        genes[name] = SynthGene(name, chrom, strand, exons, gene_id)
         for s, e in exons:
-            gtf[chrom].append([s, e, f"ENSG_{name}", name])
+            gtf[chrom].append([s, e, gene_id, name])
     parts.append(random_seq(rng, 500))
     genome = reference_from_dict({chrom: "".join(parts)})
     return SynthGenome(genome, genes, gtf)

@@ -1,0 +1,143 @@
+"""Shared CLI plumbing for the bulk and single-cell drivers."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from anchored_fusion_tpu.annotate.exon_index import ExonIndex, parse_gtf_genes
+from anchored_fusion_tpu.config import PipelineConfig
+from anchored_fusion_tpu.io.fasta import (
+    Reference, read_fasta, iter_fasta, extract_gene_names)
+from anchored_fusion_tpu.models.train import (
+    TrainedFilter, train_filter_model, score_junctions)
+from anchored_fusion_tpu.models.negative import mine_negative_junctions
+from anchored_fusion_tpu.models import data as fdata
+from anchored_fusion_tpu.pipeline import FusionPipeline
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    """Flag parity with Anchored_Fusion.py:15-30 (minus --fastq*/--fastq_dir)."""
+    p.add_argument("--file_anchored_cds", type=str, required=True,
+                   help="Target gene fasta file of anchored transcript")
+    p.add_argument("--gene_names", type=str, default="",
+                   help="The file of target gene names")
+    p.add_argument("--out_folder", type=str, default="./")
+    p.add_argument("--file_ref_seq", type=str, required=True,
+                   help="The reference sequence file")
+    p.add_argument("--file_ref_ann", type=str, required=True,
+                   help="The reference annotation file")
+    p.add_argument("--not_filter_false_positive", action="store_true")
+    p.add_argument("--not_train_filter_model", action="store_true")
+    p.add_argument("--model_file", type=str, default="./data/model.msgpack")
+    p.add_argument("--positive_samples", type=str,
+                   default="./data/positive_samples.txt")
+    p.add_argument("--homo_gene_file", type=str, default="./data/homo_gene.npy")
+    p.add_argument("--negative_samples", type=str,
+                   default="./Model/negative_samples.txt")
+    p.add_argument("--thread", type=str, default="1",
+                   help="Accepted for reference-CLI compatibility; device "
+                        "batching replaces host threading")
+    p.add_argument("--gpu_number", type=str, default="-1",
+                   help="Accepted for compatibility; accelerator selection is "
+                        "JAX-level")
+    p.add_argument("--read_batch", type=int, default=8192)
+
+
+def resolve_gene_names(args) -> List[str]:
+    if args.gene_names and os.path.exists(args.gene_names):
+        with open(args.gene_names) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    return extract_gene_names(args.file_anchored_cds)
+
+
+def split_anchor_fasta(path: str) -> Dict[int, str]:
+    """Per-record sequences in file order (the reference consumes the
+    multi-FASTA sequentially per gene name, Anchored_Fusion.py:154-165)."""
+    return {i: seq for i, (_h, seq) in enumerate(iter_fasta(path))}
+
+
+def load_homo_map(path: str) -> Dict[str, Set[str]]:
+    """Tolerant loader for the homolog-pair file (.npy dict or 2-col text)."""
+    out: Dict[str, Set[str]] = {}
+    if not path or not os.path.exists(path):
+        return out
+    try:
+        if path.endswith(".npy"):
+            d = np.load(path, allow_pickle=True).item()
+            for k, v in d.items():
+                out[str(k)] = {str(x) for x in v}
+        else:
+            with open(path) as fh:
+                for ln in fh:
+                    parts = ln.rstrip().split("\t")
+                    if len(parts) == 2:
+                        out[parts[0]] = set(parts[1].split(";"))
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"warning: could not parse homo gene file {path}: {e}")
+    return out
+
+
+def setup_filter(args, pipe: FusionPipeline, index: ExonIndex,
+                 all_read_seqs, gene_names: List[str],
+                 model_out_dir: str) -> Optional[TrainedFilter]:
+    """Filter-model bootstrap (Anchored_Fusion.py:91-121 parity): train from
+    mined negatives + provided positives, or load a pre-trained model; any
+    missing input degrades to filter-off with a warning, never a crash."""
+    if args.not_filter_false_positive:
+        return None
+    cfg = pipe.cfg.filter_model
+    if args.not_train_filter_model:
+        if os.path.exists(args.model_file):
+            return TrainedFilter.load(args.model_file, cfg, cfg.len_seq)
+        print("Error: model file not found!, not performing filter false positives.")
+        return None
+    if not os.path.exists(args.positive_samples):
+        print("Error: positive samples file not found!, not performing filter false positives.")
+        return None
+    positives = fdata.read_junction_file(args.positive_samples)
+    neg_path = args.negative_samples
+    if not os.path.exists(neg_path):
+        neg_path = os.path.join(model_out_dir, "negative_samples.txt")
+    if os.path.exists(neg_path):
+        negatives = fdata.read_junction_file(neg_path)
+    else:
+        homo_map = load_homo_map(args.homo_gene_file)
+        negatives = mine_negative_junctions(
+            pipe.genome_aligner, pipe.genome, index, all_read_seqs,
+            gene_names, homo_map)
+        os.makedirs(model_out_dir, exist_ok=True)
+        with open(neg_path, "w") as fh:
+            fh.write("\n".join(negatives) + ("\n" if negatives else ""))
+        negatives = [n.split("\t")[0] for n in negatives]
+    if not negatives:
+        print("warning: no negative samples mined; filter disabled")
+        return None
+    model_file = args.model_file
+    if not os.path.exists(os.path.dirname(model_file) or "."):
+        model_file = os.path.join(model_out_dir, "model.msgpack")
+    warm = None
+    if os.path.exists(model_file):
+        try:
+            warm = TrainedFilter.load(model_file, cfg, cfg.len_seq)
+        except Exception:
+            warm = None
+    return train_filter_model(positives, negatives, cfg, model_file,
+                              warm_start=warm)
+
+
+def make_score_fn(filt: Optional[TrainedFilter], anchor_seq: str,
+                  genome: Reference, index: ExonIndex):
+    if filt is None:
+        return None
+    from anchored_fusion_tpu.models.test_reads import build_test_rows, attach_scores
+
+    def fn(candidates):
+        rows, row_cand = build_test_rows(candidates, anchor_seq, genome, index)
+        scores = score_junctions(filt, rows)
+        return attach_scores(candidates, row_cand, scores)
+
+    return fn

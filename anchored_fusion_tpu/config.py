@@ -41,6 +41,9 @@ class AlignConfig:
     min_align_score: int = 30
     # Minimum length of a reported M-segment.
     min_seg_len: int = 20
+    # Read-position sampling stride of the dense diagonal seeder (the MXU
+    # analogue of blat -stepSize; extension always runs full-resolution).
+    seed_stride: int = 1
     # k-mer size for genome-scale seeding.
     genome_kmer: int = 13
     # Max seed hits per k-mer kept (repeat masking, ~bwa -c / blat repMatch).
@@ -143,6 +146,8 @@ class FilterModelConfig:
     transformer_dim: int = 128
     transformer_heads: int = 2
     transformer_layers: int = 1
+    # torch nn.TransformerEncoderLayer default feed-forward width.
+    transformer_ff: int = 2048
     num_class: int = 2
     dropout: float = 0.2
     len_seq: int = 201

@@ -1,0 +1,171 @@
+"""Negative-sample mining from genomic chimeric artifacts.
+
+Re-design of ``prepare_negative`` / ``make_negative_file``
+(functions.py:1393-1639): the reference scans a whole-genome BAM for reads
+with SA:Z split tags, applies clip-complementarity and gene-pair filters,
+rejects reads the linear genome explains, and extracts 201-char 'H'-junction
+strings around the chimeric coordinates.
+
+Here the SA-tag role is played by the k-mer engine's multi-hit output: a read
+whose two strongest hits cover complementary halves of the read at two
+distant gene loci is a chimeric artifact candidate.  All the reference's
+pair filters are preserved:
+
+  * clip complementarity within 5bp                   (functions.py:1460)
+  * same-chromosome pairs < 10kb apart rejected        (:1469)
+  * both genes annotated, distinct, not target genes   (:1473-1475)
+  * IG*/ENSG*/3-letter-prefix sibling pairs rejected   (Inspect_name, :1402-1411)
+  * known homolog pairs rejected                       (:1394-1400; NB the
+    reference compares gene *names* against integer id lists, which can never
+    match — we implement the intended check against a name->set mapping)
+  * per-pair dedup with adjacency memory               (:1477-1490)
+  * linear-genome rejection at ~0.8x modal read length (:1517-1522)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from anchored_fusion_tpu.annotate.exon_index import ExonIndex
+from anchored_fusion_tpu.annotate.exon_walk import window_sequence
+from anchored_fusion_tpu.io.fasta import Reference
+
+
+def _inspect_name(n1: str, n2: str) -> bool:
+    """True when the pair must be rejected (Inspect_name parity)."""
+    if n1.startswith("IG") or n2.startswith("IG"):
+        return True
+    if n1.startswith("ENSG") or n2.startswith("ENSG"):
+        return True
+    if len(n1) < 3 or len(n2) < 3:
+        return False
+    return n1[:3] == n2[:3]
+
+
+def mine_negative_junctions(
+    genome_aligner,
+    genome: Reference,
+    index: ExonIndex,
+    seqs: np.ndarray,              # (N, R) int8 whole-sample reads
+    gene_names: Sequence[str],     # anchored target gene names (excluded)
+    homo_map: Optional[Dict[str, Set[str]]] = None,
+    clip_slack: int = 5,
+    min_locus_distance: int = 10_000,
+    window: int = 100,
+    max_rows: int = 20_000,
+) -> List[str]:
+    """Mine 201-char negative junction rows from a read batch."""
+    homo_map = homo_map or {}
+    targets = {g.upper() for g in gene_names}
+    hits = genome_aligner.align_multi(seqs, min_score=20, min_seg_len=20,
+                                      top_k=4)
+    by_read: Dict[int, List[int]] = {}
+    for h in range(len(hits.read_id)):
+        by_read.setdefault(int(hits.read_id[h]), []).append(h)
+    read_lens = (np.asarray(seqs) != 5).sum(axis=1)
+
+    rows: List[str] = []
+    last_genes: Set[str] = set()
+    x_last = ""
+    y_last: List[str] = []
+    lengths: Dict[int, int] = {}
+    picked: List[Tuple] = []
+    for rid, hs in sorted(by_read.items()):
+        if len(hs) < 2:
+            continue
+        L = int(read_lens[rid])
+        hs = sorted(hs, key=lambda h: -int(hits.score[h]))
+        X, Y = hs[0], hs[1]
+        # forward-frame query intervals
+        xs, xe = int(hits.q_start[X]), int(hits.q_end[X]) + 1
+        ys, ye = int(hits.q_start[Y]), int(hits.q_end[Y]) + 1
+        # patterns: prefix hit (M+S) or suffix hit (S+M); interior hits fail
+        def pattern(s, e):
+            if s <= clip_slack and e < L - clip_slack:
+                return "MS"
+            if s > clip_slack and e >= L - clip_slack:
+                return "SM"
+            return None
+        px, py = pattern(xs, xe), pattern(ys, ye)
+        if px is None or py is None or px == py:
+            continue
+        l_X_M, l_Y_M = xe - xs, ye - ys
+        l_Y_S = L - l_Y_M
+        if abs(l_X_M - l_Y_S) > clip_slack:
+            continue
+        lengths[L] = lengths.get(L, 0) + 1
+        x_chrom, x_pos1 = genome.to_local(int(hits.ref_start[X]))
+        y_chrom, y_pos1 = genome.to_local(int(hits.ref_start[Y]))
+        if x_chrom == y_chrom and abs(x_pos1 - y_pos1) < min_locus_distance:
+            continue
+        x_gene, _ = index.find_exon(x_chrom, x_pos1, x_pos1 + 1)
+        y_gene, _ = index.find_exon(y_chrom, y_pos1, y_pos1 + 1)
+        xn, yn = x_gene[1], y_gene[1]
+        if xn.upper() in targets or yn.upper() in targets:
+            continue
+        if (xn == "" or yn == "" or xn == yn or _inspect_name(xn, yn)
+                or yn in homo_map.get(xn, ())):
+            continue
+        if (xn == x_last and yn in y_last) or (xn in y_last and yn == x_last):
+            continue
+        pair, rpair = f"{xn}--{yn}", f"{yn}--{xn}"
+        if pair in last_genes or rpair in last_genes:
+            continue
+        last_genes.add(pair)
+        if xn == x_last:
+            y_last.append(yn)
+        elif yn == x_last:
+            y_last.append(xn)
+        else:
+            x_last, y_last = xn, [yn]
+        # junction coordinates, strand-normalized (functions.py:1491-1514)
+        x_strand = "+" if hits.strand[X] == 0 else "-"
+        y_strand = "+" if hits.strand[Y] == 0 else "-"
+        y_plus = max(0, l_X_M - l_Y_S)
+        x_left, x_right = x_pos1, x_pos1 + l_X_M
+        y_left, y_right = y_pos1, y_pos1 + l_Y_M
+        if px == "MS":
+            g1 = (xn, x_chrom, x_right, x_strand)
+            if y_strand == "+":
+                g2 = (yn, y_chrom, y_left + y_plus, y_strand)
+            else:
+                g2 = (yn, y_chrom, y_right - y_plus, y_strand)
+            if x_strand == "-":
+                g1, g2 = g2, g1
+        else:  # px == 'SM'
+            g2 = (xn, x_chrom, x_left, x_strand)
+            if y_strand == "+":
+                g1 = (yn, y_chrom, y_right - y_plus, y_strand)
+            else:
+                g1 = (yn, y_chrom, y_left, y_strand)
+            if x_strand == "-":
+                g1, g2 = g2, g1
+        picked.append((rid, g1, g2))
+        if len(picked) >= max_rows:
+            break
+
+    # linear-genome rejection: any read with a near-full-length hit is not a
+    # chimera (blat -minScore=0.8*modal_len, functions.py:1517-1538)
+    modal = max(lengths, key=lengths.get) if lengths else 101
+    min_match = int(modal * 0.8)
+    bad: Set[int] = set()
+    for rid, hs in by_read.items():
+        for h in hs:
+            if int(hits.matches[h]) >= min_match:
+                bad.add(rid)
+                break
+    for rid, g1, g2 in picked:
+        if rid in bad:
+            continue
+        n1, c1, p1, s1 = g1
+        n2, c2, p2, s2 = g2
+        l1, _r1 = window_sequence(genome, index, c1, int(p1), window, strand=s1)
+        _l2, r2 = window_sequence(genome, index, c2, int(p2), window, strand=s2)
+        if not l1 and not r2:
+            continue
+        rows.append("N" * (window - len(l1)) + l1 + "H" + r2
+                    + "N" * (window - len(r2)) + "\t" + f"{n1}->{n2}")
+    return rows

