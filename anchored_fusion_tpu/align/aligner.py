@@ -311,6 +311,13 @@ def align_to_reference_multi(
     seqs = np.asarray(seqs, dtype=np.int8)
     if seqs.ndim == 1:
         seqs = seqs[None]
+    B0 = seqs.shape[0]
+    # pad the batch to a multiple of 64 queries: bounds the set of compiled
+    # shapes across calls with varying candidate counts
+    Bp = -(-B0 // 64) * 64
+    if Bp != B0:
+        seqs = np.concatenate(
+            [seqs, np.full((Bp - B0, seqs.shape[1]), PAD, np.int8)], axis=0)
     B, R = seqs.shape
     read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
     stride = getattr(cfg, "seed_stride", 1)
@@ -318,8 +325,13 @@ def align_to_reference_multi(
     seg = _align_multi_core(jnp.asarray(seqs), jnp.asarray(ref_codes, jnp.int8),
                             W, top_k, cfg.match_score, cfg.mismatch_penalty,
                             stride)
-    return _flatten_multi({n: v for n, v in seg.items()}, read_lens, B, top_k,
-                          min_score, min_identity, min_seg_len, R)
+    mh = _flatten_multi({n: v for n, v in seg.items()}, read_lens, B, top_k,
+                        min_score, min_identity, min_seg_len, R)
+    if Bp != B0:
+        sel = mh.read_id < B0
+        mh = MultiHits(**{f.name: getattr(mh, f.name)[sel]
+                          for f in dataclasses.fields(MultiHits)})
+    return mh
 
 
 def align_to_reference(
@@ -356,10 +368,13 @@ def align_to_reference(
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
         n_real = sub.shape[0]
-        if n_real < chunk and B > chunk:
-            # pad the tail chunk to avoid a recompile for its odd shape
-            sub = np.concatenate(
-                [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+        if n_real < chunk:
+            # pad to the chunk size (or a 128-multiple for small batches) to
+            # bound the set of compiled shapes
+            target = chunk if B > chunk else -(-n_real // 128) * 128
+            if target != n_real:
+                sub = np.concatenate(
+                    [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
         res = _align_core(jnp.asarray(sub), ref, W, top_k,
                           cfg.match_score, cfg.mismatch_penalty, stride)
         outs.append({n: np.asarray(v)[:n_real] for n, v in res.items()})

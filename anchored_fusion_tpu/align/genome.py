@@ -96,9 +96,11 @@ class GenomeAligner:
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
-            if n_real < chunk and B > chunk:
-                sub = np.concatenate(
-                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            if n_real < chunk:
+                target = chunk if B > chunk else -(-n_real // 128) * 128
+                if target != n_real:
+                    sub = np.concatenate(
+                        [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
             res = _genome_align_core(
                 jnp.asarray(sub), self.codes, self.index.keys_sorted,
                 self.index.pos_sorted, offsets, self.k, max_hits, top_k,
@@ -139,9 +141,11 @@ class GenomeAligner:
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
-            if n_real < chunk and B > chunk:
-                sub = np.concatenate(
-                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            if n_real < chunk:
+                target = chunk if B > chunk else -(-n_real // 64) * 64
+                if target != n_real:
+                    sub = np.concatenate(
+                        [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
             seg = _genome_align_multi_core(
                 jnp.asarray(sub), self.codes, self.index.keys_sorted,
                 self.index.pos_sorted, offsets, self.k, max_hits, top_k,

@@ -55,42 +55,62 @@ class ReadBatch:
         return ReadBatch(self.names + [""] * extra, seq, length)
 
 
-def _read_one(path: str) -> Tuple[List[str], List[np.ndarray]]:
+def _read_raw(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            return fh.read()
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _read_one_matrix(path: str, max_len: Optional[int] = None):
+    """(names, seq (N, L) int8, lens (N,)) via the native codec when
+    available (io/native), Python parsing otherwise."""
+    data = _read_raw(path)
+    try:
+        from anchored_fusion_tpu.io.native import decode_fastq_native
+        res = decode_fastq_native(data, max_len)
+    except Exception:
+        res = None
+    if res is not None:
+        return res
     names, seqs = [], []
-    with _open(path) as fh:
-        while True:
-            h = fh.readline()
-            if not h:
-                break
-            s = fh.readline().strip()
-            fh.readline()
-            fh.readline()
-            name = h.strip()[1:].split(" ")[0].split("\t")[0]
-            # Strip trailing /1 or /2 mate suffix, like bwa does.
-            if name.endswith("/1") or name.endswith("/2"):
-                name = name[:-2]
-            names.append(name)
-            seqs.append(encode_ascii(s))
-    return names, seqs
+    lines = data.decode().splitlines()
+    for i in range(0, len(lines) - 3, 4):
+        name = lines[i].strip()[1:].split(" ")[0].split("\t")[0]
+        if name.endswith("/1") or name.endswith("/2"):
+            name = name[:-2]
+        names.append(name)
+        seqs.append(encode_ascii(lines[i + 1].strip()))
+    if max_len is None:
+        longest = max((len(s) for s in seqs), default=0)
+        max_len = max(8, -(-longest // 128) * 128)
+    seq = np.full((len(names), max_len), PAD, dtype=np.int8)
+    lens = np.zeros(len(names), np.int32)
+    for i, s in enumerate(seqs):
+        l = min(len(s), max_len)
+        seq[i, :l] = s[:l]
+        lens[i] = l
+    return names, seq, lens
 
 
 def read_fastq_pair(path1: str, path2: str, max_len: Optional[int] = None) -> ReadBatch:
-    names1, seqs1 = _read_one(path1)
-    names2, seqs2 = _read_one(path2)
+    names1, seq1, len1 = _read_one_matrix(path1, max_len)
+    names2, seq2, len2 = _read_one_matrix(path2, max_len)
     if len(names1) != len(names2):
         raise ValueError(
             f"unpaired FASTQ: {len(names1)} vs {len(names2)} reads")
-    if max_len is None:
-        longest = max((len(s) for s in seqs1 + seqs2), default=0)
-        max_len = max(8, -(-longest // 128) * 128)  # round up to lane width
-    n = len(names1)
-    seq = np.full((n, 2, max_len), PAD, dtype=np.int8)
-    length = np.zeros((n, 2), dtype=np.int32)
-    for i, (s1, s2) in enumerate(zip(seqs1, seqs2)):
-        l1, l2 = min(len(s1), max_len), min(len(s2), max_len)
-        seq[i, 0, :l1] = s1[:l1]
-        seq[i, 1, :l2] = s2[:l2]
-        length[i, 0], length[i, 1] = l1, l2
+    width = max(seq1.shape[1], seq2.shape[1])
+
+    def _widen(m):
+        if m.shape[1] == width:
+            return m
+        out = np.full((m.shape[0], width), PAD, np.int8)
+        out[:, :m.shape[1]] = m
+        return out
+
+    seq = np.stack([_widen(seq1), _widen(seq2)], axis=1)
+    length = np.stack([len1, len2], axis=1).astype(np.int32)
     return ReadBatch(names1, seq, length)
 
 

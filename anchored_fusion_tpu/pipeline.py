@@ -58,12 +58,15 @@ class FusionPipeline:
 
     def __init__(self, genome: Reference, exon_index: ExonIndex,
                  gene_rows: Sequence[tuple],
-                 cfg: Optional[PipelineConfig] = None):
+                 cfg: Optional[PipelineConfig] = None,
+                 cache_dir: Optional[str] = None):
+        from anchored_fusion_tpu.utils.checkpoint import StageCache
         self.cfg = cfg or PipelineConfig()
         self.genome = genome
         self.exon_index = exon_index
         self.gene_rows = list(gene_rows)
         self.genome_aligner = GenomeAligner(genome, self.cfg.align)
+        self.cache = StageCache(cache_dir)
 
     def call_gene(
         self,
@@ -114,10 +117,15 @@ class FusionPipeline:
                     poses.append((chrom, s1 + trim, e1 - trim))
                 pair_hits.append((reads.names[pid], poses))
 
-        # 3. homolog mask
+        # 3. homolog mask (stage-cached: the reference persists the
+        # equivalent _homo_genes.bed per gene, Anchored_Fusion.py:196-197)
         if homo_genes is None:
-            homo_genes = find_homolog_genes(
-                self.genome_aligner, anchor_codes, self.gene_rows, self.genome)
+            from anchored_fusion_tpu.utils.checkpoint import digest
+            key = digest(np.asarray(anchor_codes), self.genome.total_length)
+            homo_genes = self.cache.cached(
+                "homolog", key,
+                lambda: find_homolog_genes(self.genome_aligner, anchor_codes,
+                                           self.gene_rows, self.genome))
         counters["homo_genes"] = len(homo_genes)
 
         # 4. clipped anchored reads -> genome multi-hits; rescue filter

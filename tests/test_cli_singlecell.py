@@ -1,0 +1,72 @@
+"""End-to-end single-cell CLI test on a tiny synthetic cohort."""
+
+import os
+
+import numpy as np
+import pytest
+
+from anchored_fusion_tpu.bench.simulate import (
+    make_synthetic_genome, fuse_transcripts, simulate_pairs, write_fastq_pair,
+    write_gtf, write_fasta)
+
+
+@pytest.mark.slow
+def test_singlecell_cli_end_to_end(tmp_path):
+    rng = np.random.default_rng(11)
+    sg = make_synthetic_genome(rng, n_genes=6, exons_per_gene=(3, 5),
+                               exon_len=(250, 400))
+    plus = [g for g in sg.genes.values() if g.strand == "+"]
+    anchor, partner = plus[0], plus[1]
+    tx_a, tx_p = anchor.transcript(sg.genome), partner.transcript(sg.genome)
+    break5 = sum(e - s + 1 for s, e in anchor.exons[:2]) - 100
+    fusion = fuse_transcripts(tx_a, tx_p, break5, 60)
+
+    cells = str(tmp_path / "cells")
+    os.makedirs(cells)
+    # cell A carries the fusion, cell B is wild-type
+    nm, r1, r2 = simulate_pairs(rng, fusion, 220, name_prefix="F")
+    write_fastq_pair(f"{cells}/cellA_1.fastq.gz", f"{cells}/cellA_2.fastq.gz",
+                     nm, r1, r2)
+    nm, r1, r2 = simulate_pairs(rng, tx_a, 150, name_prefix="W")
+    write_fastq_pair(f"{cells}/cellB_1.fastq.gz", f"{cells}/cellB_2.fastq.gz",
+                     nm, r1, r2)
+
+    write_gtf(sg, str(tmp_path / "ann.gtf"))
+    write_fasta({sg.genome.names[0]: sg.genome.fetch_str(
+        "chr1", 1, sg.genome.total_length)}, str(tmp_path / "genome.fa"))
+    write_fasta({f"NM_000001.1 {anchor.name}": tx_a}, str(tmp_path / "anchor.fasta"))
+    (tmp_path / "names.txt").write_text(anchor.name + "\n")
+
+    from anchored_fusion_tpu.cli.sc import main
+    rc = main([
+        "--file_anchored_cds", str(tmp_path / "anchor.fasta"),
+        "--gene_names", str(tmp_path / "names.txt"),
+        "--fastq_dir", cells,
+        "--file_ref_seq", str(tmp_path / "genome.fa"),
+        "--file_ref_ann", str(tmp_path / "ann.gtf"),
+        "--out_folder", str(tmp_path / "out"),
+        "--not_filter_false_positive",
+    ])
+    assert rc == 0
+    agg = (tmp_path / "out" / anchor.name /
+           f"{anchor.name}_fusion_gene_cell_predictions_abridged.txt").read_text()
+    lines = agg.strip().splitlines()
+    assert lines[0].startswith("Fusion_gene")
+    fusion_rows = [l for l in lines[1:]
+                   if l.startswith(f"{anchor.name}--{partner.name}")]
+    assert fusion_rows, agg
+    # the fusion is present in exactly one cell
+    best = max(fusion_rows, key=lambda l: int(l.split("\t")[6]))
+    cols = best.split("\t")
+    assert cols[7] == "1" and cols[8] == "cellA"
+
+
+def test_discover_pairs_suffix_parity(tmp_path):
+    from anchored_fusion_tpu.cli.sc import discover_pairs
+    d = str(tmp_path)
+    for f in ["a_1.fastq", "a_2.fastq", "b_1.fq.gz", "b_2.fq.gz",
+              "c_1.fastq.gz", "lonely_1.fastq", "d_2.fastq"]:
+        open(os.path.join(d, f), "w").close()
+    pairs = discover_pairs(d)
+    names = sorted(p[0] for p in pairs)
+    assert names == ["a", "b"]
