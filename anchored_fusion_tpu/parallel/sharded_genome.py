@@ -1,0 +1,180 @@
+"""Genome k-mer index sharded across the mesh's mp axis.
+
+SURVEY §2.3 item 2: the anchored-transcript index is tiny and replicated; the
+genome index is the large object (tens of GB for hg38) and is sharded.  Each
+shard owns a contiguous genome slice (with ``overlap`` bp of halo so
+alignments crossing a boundary are found by exactly one side), holds the
+sorted k-mer index of that slice with *local* int32 positions, and aligns the
+full (replicated) read batch against its slice; the cross-shard reduction —
+keep the best-scoring hit per read — is a tiny elementwise ``max`` over the
+(B,) result records, placed on ICI by XLA from the shardings.
+
+Single-device fallback uses a ``vmap`` over the shard axis (identical
+numerics), so the sharded path is testable without a mesh and the mesh path
+is validated against it on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anchored_fusion_tpu.config import AlignConfig
+from anchored_fusion_tpu.io.fasta import Reference
+from anchored_fusion_tpu.index.kmer import (
+    pack_kmers_host, pack_read_kmers, lookup_hits, vote_diagonals)
+from anchored_fusion_tpu.ops.encode import PAD
+from anchored_fusion_tpu.align.aligner import (
+    AlignmentResult, both_strands, extend_diagonals, fold_strands)
+
+
+def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
+    """Split the genome into equal slices (+halo) and index each slice."""
+    L = len(codes)
+    per = -(-L // n_shards)
+    keys_list, pos_list, seq_list, offsets = [], [], [], []
+    max_m = 0
+    max_s = 0
+    for s in range(n_shards):
+        lo = s * per
+        hi = min(L, (s + 1) * per + overlap)
+        sl = codes[lo:hi]
+        keys = pack_kmers_host(sl, k)
+        valid = keys >= 0
+        pos = np.nonzero(valid)[0].astype(np.int32)
+        kv = keys[valid]
+        order = np.argsort(kv, kind="stable")
+        keys_list.append(kv[order])
+        pos_list.append(pos[order])
+        seq_list.append(sl)
+        offsets.append(lo)
+        max_m = max(max_m, len(kv))
+        max_s = max(max_s, len(sl))
+    S = n_shards
+    keys_arr = np.full((S, max_m), np.iinfo(np.int64).max, np.int64)
+    pos_arr = np.zeros((S, max_m), np.int32)
+    seq_arr = np.full((S, max_s), PAD, np.int8)
+    for s in range(S):
+        keys_arr[s, :len(keys_list[s])] = keys_list[s]
+        pos_arr[s, :len(pos_list[s])] = pos_list[s]
+        seq_arr[s, :len(seq_list[s])] = seq_list[s]
+    return keys_arr, pos_arr, seq_arr, np.asarray(offsets, np.int64)
+
+
+def _shard_best(reads, keys, pos, seq, offsets, read_offsets,
+                k: int, max_hits: int, top_k: int, match: int, mismatch: int):
+    """Best alignment of every read against ONE shard's slice (local coords
+    folded to global with the shard offset)."""
+    B, R = reads.shape
+    flat, coord_off = both_strands(reads)
+    rk, kvalid = pack_read_kmers(flat, read_offsets, k)
+    hit_pos, hvalid = lookup_hits(keys, pos, rk, kvalid, max_hits)
+    diags = hit_pos - read_offsets[None, :, None]
+    C = diags.shape[1] * diags.shape[2]
+    diag, votes = vote_diagonals(diags.reshape(2 * B, C),
+                                 hvalid.reshape(2 * B, C), top_k)
+    offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
+    cand = extend_diagonals(flat, seq, offs, match, mismatch)
+    out = fold_strands(cand, B, coord_off)
+    out["ref_start"] = out["ref_start"] + offsets
+    out["ref_end"] = out["ref_end"] + offsets
+    return out
+
+
+def _reduce_best(per_shard: dict):
+    """Keep the best-scoring shard hit per read: per_shard fields (S, B)."""
+    best = jnp.argmax(per_shard["score"], axis=0)          # (B,)
+    take = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
+    return {n: take(v) for n, v in per_shard.items()}
+
+
+class ShardedGenomeAligner:
+    """Genome alignment over a sharded k-mer index.
+
+    With a mesh: shard arrays live distributed over the mp axis and the
+    per-shard work runs under ``shard_map``; reads are replicated across mp
+    (all-gathered once by XLA) and the best-hit reduction is the only
+    cross-shard communication.  Without a mesh: a vmap over shards.
+    """
+
+    def __init__(self, reference: Reference, n_shards: int,
+                 cfg: Optional[AlignConfig] = None, overlap: int = 512,
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg or AlignConfig()
+        self.reference = reference
+        self.n_shards = n_shards
+        self.k = self.cfg.genome_kmer
+        self.stride = max(1, self.k // 2)
+        keys, pos, seq, offs = _build_shard_arrays(
+            np.asarray(reference.seq), n_shards, self.k, overlap)
+        self.mesh = mesh
+        if mesh is not None:
+            mp = mesh.axis_names[1]
+            sh = NamedSharding(mesh, P(mp))
+            self.keys = jax.device_put(keys, sh)
+            self.pos = jax.device_put(pos, sh)
+            self.seq = jax.device_put(seq, sh)
+            self.offs = jax.device_put(offs, sh)
+        else:
+            self.keys = jnp.asarray(keys)
+            self.pos = jnp.asarray(pos)
+            self.seq = jnp.asarray(seq)
+            self.offs = jnp.asarray(offs)
+
+    def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
+              min_seg_len: Optional[int] = None, top_k: Optional[int] = None,
+              max_hits: Optional[int] = None) -> AlignmentResult:
+        cfg = self.cfg
+        min_score = min_score or cfg.min_align_score
+        min_seg_len = min_seg_len or cfg.min_seg_len
+        top_k = top_k or cfg.top_diagonals
+        max_hits = max_hits or cfg.max_hits_per_kmer
+        seqs = np.asarray(seqs, np.int8)
+        if seqs.ndim == 1:
+            seqs = seqs[None]
+        B, R = seqs.shape
+        read_offsets = jnp.arange(0, R - self.k + 1, self.stride, dtype=jnp.int32)
+        body = functools.partial(
+            _shard_best, k=self.k, max_hits=max_hits, top_k=top_k,
+            match=cfg.match_score, mismatch=cfg.mismatch_penalty)
+
+        if self.mesh is not None:
+            mp = self.mesh.axis_names[1]
+
+            def shard_fn(reads, keys, pos, seq, offs):
+                out = body(reads, keys[0], pos[0], seq[0], offs[0], read_offsets)
+                return {n: v[None] for n, v in out.items()}
+
+            fn = jax.jit(jax.shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=(P(), P(mp), P(mp), P(mp), P(mp)),
+                out_specs=P(mp)))
+            per_shard = fn(jnp.asarray(seqs), self.keys, self.pos, self.seq,
+                           self.offs)
+        else:
+            fn = jax.jit(jax.vmap(
+                lambda keys, pos, seq, off: body(
+                    jnp.asarray(seqs), keys, pos, seq, off, read_offsets)))
+            per_shard = fn(self.keys, self.pos, self.seq, self.offs)
+        red = jax.jit(_reduce_best)(per_shard)
+        cat = {n: np.asarray(v) for n, v in red.items()}
+        length = cat["length"]
+        matches = cat["matches"]
+        mapped = (cat["score"] >= min_score) & (length >= min_seg_len)
+        return AlignmentResult(
+            score=cat["score"].astype(np.int32),
+            strand=cat["strand"].astype(np.int8),
+            read_start=cat["read_start"].astype(np.int32),
+            read_end=cat["read_end"].astype(np.int32),
+            ref_start=cat["ref_start"].astype(np.int64),
+            ref_end=cat["ref_end"].astype(np.int64),
+            matches=matches.astype(np.int32),
+            length=length.astype(np.int32),
+            second_score=cat["second_score"].astype(np.int32),
+            mapped=mapped,
+        )
