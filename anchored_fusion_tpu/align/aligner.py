@@ -72,14 +72,16 @@ _SEED_CACHE: dict = {}
 
 
 def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int, stride: int = 1):
+    """(seed patch matrix, window matrix) for a small reference, cached."""
     key = (id(ref_codes), int(np.asarray(ref_codes).shape[0]), read_len, stride)
-    W = _SEED_CACHE.get(key)
-    if W is None:
-        W = build_seed_matrix(np.asarray(ref_codes), read_len, stride=stride)
+    Ws = _SEED_CACHE.get(key)
+    if Ws is None:
+        Ws = (build_seed_matrix(np.asarray(ref_codes), read_len, stride=stride),
+              build_window_matrix(np.asarray(ref_codes), read_len))
         if len(_SEED_CACHE) > 16:
             _SEED_CACHE.clear()
-        _SEED_CACHE[key] = W
-    return W
+        _SEED_CACHE[key] = Ws
+    return Ws
 
 
 def both_strands(reads: jax.Array):
@@ -101,28 +103,50 @@ def both_strands(reads: jax.Array):
     return flat, coord_off
 
 
+def build_window_matrix(ref_codes: np.ndarray, read_len: int) -> jax.Array:
+    """All reference windows as one (L+R+1, R) int8 matrix (PAD-guarded).
+
+    Row j holds ``ref[j-R : j-R+R]`` of the PAD-extended reference, i.e. the
+    window for candidate offset ``j - R``.  Window extraction then becomes a
+    single-axis ROW gather — ~12x faster on TPU than per-candidate dynamic
+    slices.  Memory is (L+R)*R bytes: fine for the anchored transcript and
+    candidate references, not for a whole genome (the genome path keeps the
+    dynamic-slice gather).
+    """
+    R = read_len
+    refp = np.concatenate([np.full(R, PAD, np.int8),
+                           np.asarray(ref_codes, np.int8),
+                           np.full(R, PAD, np.int8)])
+    W2 = np.lib.stride_tricks.sliding_window_view(refp, R)
+    return jnp.asarray(np.ascontiguousarray(W2))
+
+
 def extend_diagonals_all(flat: jax.Array, ref: jax.Array, offs: jax.Array,
-                         match: int, mismatch: int):
+                         match: int, mismatch: int,
+                         win_matrix: Optional[jax.Array] = None):
     """Kadane extension of every candidate diagonal (multi-hit, BLAT-like).
 
     Args:
       flat: (N, R) oriented reads.
       ref:  (L,) reference codes.
       offs: (N, k) candidate ref offsets of read position 0 per read.
+      win_matrix: optional precomputed window matrix (small references).
     Returns dict of (N, k): score, start, end, matches, length — read-frame
     coordinates of each candidate's best segment.
     """
     N, R = flat.shape
     L = ref.shape[0]
-    # Window extraction as contiguous dynamic slices from a PAD-guarded
-    # reference: lowers to a slice-gather (one 128-wide row per candidate)
-    # instead of an elementwise gather of N*k*R scalars, which is ~10x slower
-    # on TPU.  Out-of-range positions read PAD and are masked invalid.
-    refp = jnp.concatenate(
-        [jnp.full(R, PAD, jnp.int8), ref, jnp.full(R, PAD, jnp.int8)])
-    start = jnp.clip(offs + R, 0, L + R).astype(jnp.int32)
-    win = jax.vmap(jax.vmap(
-        lambda s: jax.lax.dynamic_slice(refp, (s,), (R,))))(start)  # (N, k, R)
+    if win_matrix is not None:
+        win = win_matrix[jnp.clip(offs + R, 0, win_matrix.shape[0] - 1)]
+    else:
+        # Contiguous dynamic slices from a PAD-guarded reference: a
+        # slice-gather (one 128-wide row per candidate) rather than an
+        # elementwise gather of N*k*R scalars (~10x slower on TPU).
+        refp = jnp.concatenate(
+            [jnp.full(R, PAD, jnp.int8), ref, jnp.full(R, PAD, jnp.int8)])
+        start = jnp.clip(offs + R, 0, L + R).astype(jnp.int32)
+        win = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(refp, (s,), (R,))))(start)
     read_valid = (flat != PAD)[:, None, :]
     valid = (win != PAD) & read_valid
     sc, ism = kadane.segment_scores(
@@ -132,7 +156,8 @@ def extend_diagonals_all(flat: jax.Array, ref: jax.Array, offs: jax.Array,
 
 
 def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
-                     match: int, mismatch: int):
+                     match: int, mismatch: int,
+                     win_matrix: Optional[jax.Array] = None):
     """Best-hit Kadane extension (see :func:`extend_diagonals_all`).
 
     Returns dict of (N,): score, read_start/end, matches, length, off,
@@ -140,7 +165,7 @@ def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
     """
     N, R = flat.shape
     k = offs.shape[1]
-    seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch, win_matrix)
     order = jnp.argsort(-seg["score"], axis=1)
     b1 = order[:, 0]
     b2 = order[:, min(1, k - 1)]
@@ -189,6 +214,7 @@ def fold_strands(cand: dict, B: int, coord_off: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=("k", "match", "mismatch", "stride"))
 def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
+                win_matrix: jax.Array,
                 k: int, match: int, mismatch: int, stride: int = 1):
     """Both-strand top-k diagonal seeding + Kadane extension.
 
@@ -204,7 +230,7 @@ def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
     counts = diag_match_counts_w(flat, seed_matrix, stride=stride)
     _, idx = jax.lax.top_k(counts, k)                      # (2B, k)
     offs = idx - (R - 1)                                   # ref offset of read pos 0
-    cand = extend_diagonals(flat, ref, offs, match, mismatch)
+    cand = extend_diagonals(flat, ref, offs, match, mismatch, win_matrix)
     return fold_strands(cand, B, coord_off)
 
 
@@ -231,13 +257,14 @@ class MultiHits:
 
 @functools.partial(jax.jit, static_argnames=("k", "match", "mismatch", "stride"))
 def _align_multi_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
+                      win_matrix: jax.Array,
                       k: int, match: int, mismatch: int, stride: int = 1):
     B, R = reads.shape
     flat, _ = both_strands(reads)
     counts = diag_match_counts_w(flat, seed_matrix, stride=stride)
     _, idx = jax.lax.top_k(counts, k)
     offs = idx - (R - 1)
-    seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch, win_matrix)
     seg["off"] = offs
     return seg
 
@@ -321,10 +348,10 @@ def align_to_reference_multi(
     B, R = seqs.shape
     read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
     stride = getattr(cfg, "seed_stride", 1)
-    W = _seed_matrix_cached(ref_codes, R, stride)
+    W, W2 = _seed_matrix_cached(ref_codes, R, stride)
     seg = _align_multi_core(jnp.asarray(seqs), jnp.asarray(ref_codes, jnp.int8),
-                            W, top_k, cfg.match_score, cfg.mismatch_penalty,
-                            stride)
+                            W, W2, top_k, cfg.match_score,
+                            cfg.mismatch_penalty, stride)
     mh = _flatten_multi({n: v for n, v in seg.items()}, read_lens, B, top_k,
                         min_score, min_identity, min_seg_len, R)
     if Bp != B0:
@@ -363,7 +390,7 @@ def align_to_reference(
     B, R = seqs.shape
     ref = jnp.asarray(ref_codes, dtype=jnp.int8)
     stride = getattr(cfg, "seed_stride", 1)
-    W = _seed_matrix_cached(ref_codes, R, stride)
+    W, W2 = _seed_matrix_cached(ref_codes, R, stride)
     outs = []
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
@@ -375,7 +402,7 @@ def align_to_reference(
             if target != n_real:
                 sub = np.concatenate(
                     [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-        res = _align_core(jnp.asarray(sub), ref, W, top_k,
+        res = _align_core(jnp.asarray(sub), ref, W, W2, top_k,
                           cfg.match_score, cfg.mismatch_penalty, stride)
         outs.append({n: np.asarray(v)[:n_real] for n, v in res.items()})
     if not outs:

@@ -21,21 +21,21 @@ from anchored_fusion_tpu.align.aligner import _align_core
 from anchored_fusion_tpu.ops.diagonal import build_seed_matrix
 
 
-def sharded_anchor_align(mesh: Mesh, reads, ref, seed_matrix, top_k: int = 4,
-                         match: int = 1, mismatch: int = 4):
+def sharded_anchor_align(mesh: Mesh, reads, ref, seed_matrix, win_matrix,
+                         top_k: int = 4, match: int = 1, mismatch: int = 4):
     """Anchor alignment with the read batch sharded over dp.
 
     The per-read outputs keep the batch sharding; the anchored reference and
-    its patch matrix are replicated (it is a ~7kb transcript — SURVEY §2.3
-    item 2: anchored index replicated, genome index sharded).
+    its patch/window matrices are replicated (it is a ~7kb transcript —
+    SURVEY §2.3 item 2: anchored index replicated, genome index sharded).
     """
     dp = mesh.axis_names[0]
+    rep = NamedSharding(mesh, P())
     fn = jax.jit(
         functools.partial(_align_core, k=top_k, match=match, mismatch=mismatch),
-        in_shardings=(NamedSharding(mesh, P(dp)), NamedSharding(mesh, P()),
-                      NamedSharding(mesh, P())),
+        in_shardings=(NamedSharding(mesh, P(dp)), rep, rep, rep),
     )
-    return fn(reads, ref, seed_matrix)
+    return fn(reads, ref, seed_matrix, win_matrix)
 
 
 def psum_pwm_votes(mesh: Mesh, votes):
