@@ -228,10 +228,66 @@ def _align_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
     B, R = reads.shape
     flat, coord_off = both_strands(reads)                  # (2B, R)
     counts = diag_match_counts_w(flat, seed_matrix, stride=stride)
-    _, idx = jax.lax.top_k(counts, k)                      # (2B, k)
+    idx = _block_topk_diagonals(counts, k)                 # (2B, k)
     offs = idx - (R - 1)                                   # ref offset of read pos 0
     cand = extend_diagonals(flat, ref, offs, match, mismatch, win_matrix)
     return fold_strands(cand, B, coord_off)
+
+
+def _block_topk_diagonals(counts: jax.Array, k: int, block: int = 128) -> jax.Array:
+    """Top-k diagonal indices by a two-level block reduction.
+
+    A full-width ``lax.top_k`` over the (2B, L+R-1) counts matrix sorts every
+    row — ~30% of the whole alignment's device time.  Seeding only needs the k
+    strongest *distinct* diagonals, and near-equal diagonals within one
+    128-lane block converge to the same Kadane segment anyway, so: take the
+    lane-max of each 128-wide block, top_k over the tiny (2B, D/128) block
+    maxima, then the argmax lane inside each selected block.  Counts are
+    integers <= R (exact in bfloat16), so the cast costs nothing and halves
+    the reduce's HBM traffic.  Indel-split diagonals that fall in one block
+    (rare at 128 lanes vs the read length) are recovered by the gapped
+    refinement pass (align/refine.py), not seeding.
+    """
+    N, D = counts.shape
+    Dp = -(-D // block) * block
+    c = counts.astype(jnp.bfloat16)
+    if Dp != D:
+        c = jnp.pad(c, ((0, 0), (0, Dp - D)), constant_values=-1.0)
+    cb = c.reshape(N, Dp // block, block)
+    bmax = jnp.max(cb, axis=-1)                            # (N, D/128)
+    kk = min(k, bmax.shape[1])
+    _, bidx = jax.lax.top_k(bmax, kk)                      # (N, k)
+    sel = jnp.take_along_axis(cb, bidx[:, :, None], axis=1)  # (N, k, 128)
+    lane = jnp.argmax(sel, axis=-1).astype(jnp.int32)      # (N, k)
+    idx = bidx * block + lane
+    if kk < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), mode="edge")
+    return jnp.minimum(idx, D - 1)
+
+
+# Order of the per-read fields in the stacked (9, B) device result.  A single
+# stacked array means ONE device->host transfer per batch; pulling the nine
+# fields individually costs nine ~20ms round-trips through the remote TPU
+# runtime — 4x the compute time of the whole alignment.
+RESULT_FIELDS = ("score", "strand", "read_start", "read_end", "matches",
+                 "length", "second_score", "ref_start", "ref_end")
+
+
+def stack_result(out: dict) -> jax.Array:
+    """Pack a fold_strands dict into one (9, B) int32 array (device-side)."""
+    return jnp.stack([out[n].astype(jnp.int32) for n in RESULT_FIELDS])
+
+
+def unstack_result(arr: np.ndarray) -> dict:
+    """Host-side inverse of :func:`stack_result`."""
+    return {n: arr[i] for i, n in enumerate(RESULT_FIELDS)}
+
+
+@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch", "stride"))
+def _align_core_stacked(reads, ref, seed_matrix, win_matrix,
+                        k: int, match: int, mismatch: int, stride: int = 1):
+    return stack_result(_align_core(reads, ref, seed_matrix, win_matrix,
+                                    k, match, mismatch, stride))
 
 
 @dataclasses.dataclass
@@ -255,6 +311,18 @@ class MultiHits:
     ref_end: np.ndarray    # (M,) int64
 
 
+MULTI_FIELDS = ("score", "start", "end", "matches", "length", "off")
+
+
+def stack_multi(seg: dict) -> jax.Array:
+    """Pack an extend_diagonals_all dict into one (6, N, k) int32 array."""
+    return jnp.stack([seg[n].astype(jnp.int32) for n in MULTI_FIELDS])
+
+
+def unstack_multi(arr: np.ndarray) -> dict:
+    return {n: arr[i] for i, n in enumerate(MULTI_FIELDS)}
+
+
 @functools.partial(jax.jit, static_argnames=("k", "match", "mismatch", "stride"))
 def _align_multi_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
                       win_matrix: jax.Array,
@@ -262,11 +330,11 @@ def _align_multi_core(reads: jax.Array, ref: jax.Array, seed_matrix: jax.Array,
     B, R = reads.shape
     flat, _ = both_strands(reads)
     counts = diag_match_counts_w(flat, seed_matrix, stride=stride)
-    _, idx = jax.lax.top_k(counts, k)
+    _, idx = jax.lax.top_k(counts.astype(jnp.bfloat16), k)
     offs = idx - (R - 1)
     seg = extend_diagonals_all(flat, ref, offs, match, mismatch, win_matrix)
     seg["off"] = offs
-    return seg
+    return stack_multi(seg)
 
 
 def _flatten_multi(seg: dict, read_lens: np.ndarray, B: int, k: int,
@@ -349,10 +417,10 @@ def align_to_reference_multi(
     read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
     stride = getattr(cfg, "seed_stride", 1)
     W, W2 = _seed_matrix_cached(ref_codes, R, stride)
-    seg = _align_multi_core(jnp.asarray(seqs), jnp.asarray(ref_codes, jnp.int8),
-                            W, W2, top_k, cfg.match_score,
-                            cfg.mismatch_penalty, stride)
-    mh = _flatten_multi({n: v for n, v in seg.items()}, read_lens, B, top_k,
+    seg = unstack_multi(np.asarray(_align_multi_core(
+        seqs, jnp.asarray(ref_codes, jnp.int8), W, W2, top_k,
+        cfg.match_score, cfg.mismatch_penalty, stride)))
+    mh = _flatten_multi(seg, read_lens, B, top_k,
                         min_score, min_identity, min_seg_len, R)
     if Bp != B0:
         sel = mh.read_id < B0
@@ -402,9 +470,12 @@ def align_to_reference(
             if target != n_real:
                 sub = np.concatenate(
                     [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-        res = _align_core(jnp.asarray(sub), ref, W, W2, top_k,
-                          cfg.match_score, cfg.mismatch_penalty, stride)
-        outs.append({n: np.asarray(v)[:n_real] for n, v in res.items()})
+        # one host->device transfer (jit ingests the numpy batch) and one
+        # device->host transfer (the stacked (9, B) result)
+        stacked = np.asarray(_align_core_stacked(
+            sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
+            stride))
+        outs.append({n: v[:n_real] for n, v in unstack_result(stacked).items()})
     if not outs:
         z = lambda dt: np.zeros(0, dt)
         return AlignmentResult(z(np.int32), z(np.int8), z(np.int32), z(np.int32),

@@ -26,7 +26,8 @@ from anchored_fusion_tpu.index.kmer import (
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
     AlignmentResult, MultiHits, both_strands, extend_diagonals,
-    extend_diagonals_all, fold_strands, _flatten_multi)
+    extend_diagonals_all, fold_strands, _flatten_multi,
+    stack_result, unstack_result, stack_multi, unstack_multi)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
@@ -43,7 +44,7 @@ def _genome_align_core(reads, ref, index_keys, index_pos, offsets,
                                  hvalid.reshape(2 * B, C), top_k)
     offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
     cand = extend_diagonals(flat, ref, offs, match, mismatch)
-    return fold_strands(cand, B, coord_off)
+    return stack_result(fold_strands(cand, B, coord_off))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
@@ -61,7 +62,7 @@ def _genome_align_multi_core(reads, ref, index_keys, index_pos, offsets,
     offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
     seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
     seg["off"] = offs
-    return seg
+    return stack_multi(seg)
 
 
 class GenomeAligner:
@@ -101,11 +102,11 @@ class GenomeAligner:
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            res = _genome_align_core(
-                jnp.asarray(sub), self.codes, self.index.keys_sorted,
+            res = unstack_result(np.asarray(_genome_align_core(
+                sub, self.codes, self.index.keys_sorted,
                 self.index.pos_sorted, offsets, self.k, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty)
-            outs.append({n: np.asarray(v)[:n_real] for n, v in res.items()})
+                cfg.match_score, cfg.mismatch_penalty)))
+            outs.append({n: v[:n_real] for n, v in res.items()})
         cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
         length = cat["length"]
         matches = cat["matches"]
@@ -146,12 +147,12 @@ class GenomeAligner:
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            seg = _genome_align_multi_core(
-                jnp.asarray(sub), self.codes, self.index.keys_sorted,
+            seg = unstack_multi(np.asarray(_genome_align_multi_core(
+                sub, self.codes, self.index.keys_sorted,
                 self.index.pos_sorted, offsets, self.k, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty)
+                cfg.match_score, cfg.mismatch_penalty)))
             read_lens = (sub != PAD).sum(axis=1).astype(np.int32)
-            mh = _flatten_multi({n: v for n, v in seg.items()}, read_lens,
+            mh = _flatten_multi(seg, read_lens,
                                 sub.shape[0], top_k, min_score, min_identity,
                                 min_seg_len, R)
             sel = mh.read_id < n_real

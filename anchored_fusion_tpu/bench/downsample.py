@@ -40,3 +40,26 @@ def halving_ladder(path1: str, path2: str, out_prefix: str, steps: int = 4,
         write_fastq_pair(p1, p2, names, r1, r2)
         out.append((p1, p2, rb.n_pairs))
     return out
+
+
+def main(argv=None) -> int:
+    """Depth-titration ladder CLI (utils/downsample_reads.py:8-30 parity)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="anchored-fusion-downsample",
+        description="paired-consistent 2x FASTQ downsampling ladder")
+    ap.add_argument("--fastq1", required=True)
+    ap.add_argument("--fastq2", required=True)
+    ap.add_argument("--out_prefix", required=True)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    for p1, p2, n in halving_ladder(args.fastq1, args.fastq2, args.out_prefix,
+                                    steps=args.steps, seed=args.seed):
+        print(f"{p1} {p2}: {n} pairs")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -181,3 +181,49 @@ def write_fastq_pair(path1: str, path2: str, names: Sequence[str],
                 fh.write(f"@{n}/{mate}\n{s}\n+\n{'I' * len(s)}\n")
     _dump(path1, r1, 1)
     _dump(path2, r2, 2)
+
+
+def main(argv=None) -> int:
+    """Coverage-titration simulator CLI (utils/simulate_reads.py:4-20 parity).
+
+    For each fusion transcript FASTA record and each coverage in the ladder,
+    writes a wgsim-convention FASTQ pair ``<out>/<name>_cov<k>_{1,2}.fastq.gz``.
+    """
+    import argparse
+    from anchored_fusion_tpu.io.fasta import iter_fasta
+
+    ap = argparse.ArgumentParser(
+        prog="anchored-fusion-simulate",
+        description="wgsim-style paired-end simulator over fusion transcripts")
+    ap.add_argument("--transcripts", required=True,
+                    help="FASTA of fusion transcripts (one record per fusion)")
+    ap.add_argument("--out_folder", required=True)
+    ap.add_argument("--coverages", default="2,4,8,16,32,64,128",
+                    help="comma-separated coverage ladder (default 2..128)")
+    ap.add_argument("--read_len", type=int, default=101)
+    ap.add_argument("--insert", type=int, default=200)
+    ap.add_argument("--error_rate", type=float, default=0.001)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import os
+    os.makedirs(args.out_folder, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    covs = [float(c) for c in args.coverages.split(",")]
+    for header, tx in iter_fasta(args.transcripts):
+        name = header.split(" ")[0]
+        for cov in covs:
+            n = coverage_to_pairs(len(tx), cov, args.read_len)
+            names, r1, r2 = simulate_pairs(
+                rng, tx, n, read_len=args.read_len, insert=args.insert,
+                error_rate=args.error_rate, name_prefix=name)
+            tag = f"{name}_cov{cov:g}"
+            write_fastq_pair(os.path.join(args.out_folder, f"{tag}_1.fastq.gz"),
+                             os.path.join(args.out_folder, f"{tag}_2.fastq.gz"),
+                             names, r1, r2)
+            print(f"{tag}: {n} pairs")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

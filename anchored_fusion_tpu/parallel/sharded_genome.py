@@ -30,7 +30,8 @@ from anchored_fusion_tpu.index.kmer import (
     pack_kmers_host, pack_read_kmers, lookup_hits, vote_diagonals)
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
-    AlignmentResult, both_strands, extend_diagonals, fold_strands)
+    AlignmentResult, both_strands, extend_diagonals, fold_strands,
+    stack_result, unstack_result)
 
 
 def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
@@ -161,8 +162,9 @@ class ShardedGenomeAligner:
                 lambda keys, pos, seq, off: body(
                     jnp.asarray(seqs), keys, pos, seq, off, read_offsets)))
             per_shard = fn(self.keys, self.pos, self.seq, self.offs)
-        red = jax.jit(_reduce_best)(per_shard)
-        cat = {n: np.asarray(v) for n, v in red.items()}
+        # one device->host transfer: reduce + stack into a (9, B) int32 array
+        red = jax.jit(lambda ps: stack_result(_reduce_best(ps)))(per_shard)
+        cat = unstack_result(np.asarray(red))
         length = cat["length"]
         matches = cat["matches"]
         mapped = (cat["score"] >= min_score) & (length >= min_seg_len)
