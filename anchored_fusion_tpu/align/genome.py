@@ -22,7 +22,8 @@ import numpy as np
 from anchored_fusion_tpu.config import AlignConfig
 from anchored_fusion_tpu.io.fasta import Reference
 from anchored_fusion_tpu.index.kmer import (
-    KmerIndex, pack_read_kmers, lookup_hits, vote_diagonals)
+    KmerIndex, pack_read_kmers_strided, lookup_hits_table, vote_diagonals,
+    read_kmer_offsets)
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
     AlignmentResult, MultiHits, both_strands, extend_diagonals,
@@ -30,36 +31,47 @@ from anchored_fusion_tpu.align.aligner import (
     stack_result, unstack_result, stack_multi, unstack_multi)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
-def _genome_align_core(reads, ref, index_keys, index_pos, offsets,
-                       k: int, max_hits: int, top_k: int, match: int, mismatch: int):
-    B, R = reads.shape
-    flat, coord_off = both_strands(reads)                    # (2B, R)
-    keys, kvalid = pack_read_kmers(flat, offsets, k)         # (2B, Q)
-    pos, hvalid = lookup_hits(index_keys, index_pos, keys, kvalid, max_hits)
+def _seed_diagonals(flat, table, index_keys, index_pos, offsets,
+                    k: int, kb: int, stride: int, max_hits: int, top_k: int):
+    """Shared seeding: strided k-mer keys -> table hit lookup -> diagonal vote.
+
+    Returns (2B, top_k) candidate ref offsets of read position 0 (sentinel for
+    empty vote slots).
+    """
+    N = flat.shape[0]
+    keys, kvalid = pack_read_kmers_strided(flat, k, stride)  # (2B, Q)
+    pos, hvalid = lookup_hits_table(table, index_keys, index_pos, keys,
+                                    kvalid, max_hits, k, kb)
     # candidate diagonal = hit position - k-mer offset in read
     diags = pos - offsets[None, :, None]                     # (2B, Q, H)
     C = diags.shape[1] * diags.shape[2]
-    diag, votes = vote_diagonals(diags.reshape(2 * B, C),
-                                 hvalid.reshape(2 * B, C), top_k)
-    offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
+    diag, votes = vote_diagonals(diags.reshape(N, C),
+                                 hvalid.reshape(N, C), top_k)
+    return jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch"))
+def _genome_align_core(reads, ref, table, index_keys, index_pos, offsets,
+                       k: int, kb: int, stride: int, max_hits: int,
+                       top_k: int, match: int, mismatch: int):
+    B, R = reads.shape
+    flat, coord_off = both_strands(reads)                    # (2B, R)
+    offs = _seed_diagonals(flat, table, index_keys, index_pos, offsets,
+                           k, kb, stride, max_hits, top_k)
     cand = extend_diagonals(flat, ref, offs, match, mismatch)
     return stack_result(fold_strands(cand, B, coord_off))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_hits", "top_k", "match", "mismatch"))
-def _genome_align_multi_core(reads, ref, index_keys, index_pos, offsets,
-                             k: int, max_hits: int, top_k: int,
-                             match: int, mismatch: int):
+@functools.partial(jax.jit, static_argnames=(
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch"))
+def _genome_align_multi_core(reads, ref, table, index_keys, index_pos, offsets,
+                             k: int, kb: int, stride: int, max_hits: int,
+                             top_k: int, match: int, mismatch: int):
     B, R = reads.shape
     flat, _ = both_strands(reads)
-    keys, kvalid = pack_read_kmers(flat, offsets, k)
-    pos, hvalid = lookup_hits(index_keys, index_pos, keys, kvalid, max_hits)
-    diags = pos - offsets[None, :, None]
-    C = diags.shape[1] * diags.shape[2]
-    diag, votes = vote_diagonals(diags.reshape(2 * B, C),
-                                 hvalid.reshape(2 * B, C), top_k)
-    offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
+    offs = _seed_diagonals(flat, table, index_keys, index_pos, offsets,
+                           k, kb, stride, max_hits, top_k)
     seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
     seg["off"] = offs
     return stack_multi(seg)
@@ -92,7 +104,7 @@ class GenomeAligner:
         if seqs.ndim == 1:
             seqs = seqs[None]
         B, R = seqs.shape
-        offsets = jnp.arange(0, R - self.k + 1, self.stride, dtype=jnp.int32)
+        offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         outs = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
@@ -103,8 +115,9 @@ class GenomeAligner:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
             res = unstack_result(np.asarray(_genome_align_core(
-                sub, self.codes, self.index.keys_sorted,
-                self.index.pos_sorted, offsets, self.k, max_hits, top_k,
+                sub, self.codes, self.index.table, self.index.keys_sorted,
+                self.index.pos_sorted, offsets, self.k, self.index.kb,
+                self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty)))
             outs.append({n: v[:n_real] for n, v in res.items()})
         cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
@@ -137,7 +150,7 @@ class GenomeAligner:
         if seqs.ndim == 1:
             seqs = seqs[None]
         B, R = seqs.shape
-        offsets = jnp.arange(0, R - self.k + 1, self.stride, dtype=jnp.int32)
+        offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         parts = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
@@ -148,8 +161,9 @@ class GenomeAligner:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
             seg = unstack_multi(np.asarray(_genome_align_multi_core(
-                sub, self.codes, self.index.keys_sorted,
-                self.index.pos_sorted, offsets, self.k, max_hits, top_k,
+                sub, self.codes, self.index.table, self.index.keys_sorted,
+                self.index.pos_sorted, offsets, self.k, self.index.kb,
+                self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty)))
             read_lens = (sub != PAD).sum(axis=1).astype(np.int32)
             mh = _flatten_multi(seg, read_lens,

@@ -47,7 +47,11 @@ class AlignConfig:
     # k-mer size for genome-scale seeding.
     genome_kmer: int = 13
     # Max seed hits per k-mer kept (repeat masking, ~bwa -c / blat repMatch).
-    max_hits_per_kmer: int = 64
+    # The seed-hit gather is the genome stage's HBM-bound hot loop: its cost
+    # is linear in this cap (H=16 is 3.2x faster than H=64 end-to-end), and
+    # seeds with more hits carry little placement information anyway — bwa
+    # skips high-occurrence seeds entirely.
+    max_hits_per_kmer: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -2,17 +2,25 @@
 
 The all-diagonal MXU seeder (ops/diagonal.py) is exact but O(L) per read per
 diagonal set — ideal for the ~7kb anchored transcript, infeasible for a 3Gbp
-genome.  Genome-scale seeding instead uses this classic sorted k-mer index
-(the role bwa's FM-index and BLAT's 11-mer table play in the reference
+genome.  Genome-scale seeding instead uses a direct-address k-mer bucket
+table (the role bwa's FM-index and BLAT's 11-mer table play in the reference
 pipeline: Anchored_Fusion.py:102/:188, functions.py:341/:530/:716/:1244):
 
-  * build (host, numpy): pack every k-window into a base-4 key, drop windows
-    containing N, sort positions by key.  Two int32 arrays — O(L) memory,
-    no 4^k direct-address table.
-  * query (device, JAX): binary-search read k-mers in the sorted key array
-    (vectorized ``searchsorted`` — log L gathers), emit capped per-k-mer hit
-    lists, vote on alignment diagonals, and return the top-K diagonals per
-    read for Kadane/SW extension.
+  * build (host, numpy): pack every k-window into a base-4 int32 key, drop
+    windows containing N, sort positions by key (radix sort), and build a
+    bucket table ``table[b] = first sorted slot whose key-prefix >= b``.
+    When the prefix covers the whole k-mer the table IS the hash: a query
+    key's hit range is ``[table[key], table[key+1])`` — two vector gathers,
+    no binary search.  For small references the prefix is shortened (the
+    table scales with the reference, not 4^k) and hits are validated by
+    comparing gathered keys.
+  * query (device, JAX): two table gathers -> per-k-mer position lists capped
+    at ``max_hits`` -> diagonal voting -> top-K diagonals per read for
+    Kadane/SW extension.
+
+A binary-search (``searchsorted``) path is kept for comparison; on this TPU
+runtime the 25-step dependent-gather loop of a binary search over tens of
+millions of keys costs ~150ms per batch where the table lookup costs ~2ms.
 
 Sharding plan (SURVEY §2.3): one index per genome slice with slice-local
 int32 positions; reads are replicated across the shard axis of the mesh, each
@@ -32,44 +40,82 @@ import numpy as np
 
 
 def pack_kmers_host(codes: np.ndarray, k: int) -> np.ndarray:
-    """Base-4 keys of all k-windows; -1 where the window contains non-ACGT."""
+    """Base-4 keys of all k-windows; -1 where the window contains non-ACGT.
+
+    int32 keys (k <= 15): half the sort and device-lookup traffic of int64.
+    """
+    assert k <= 15, "int32 keys require k <= 15"
     L = codes.shape[0]
     n = L - k + 1
     if n <= 0:
-        return np.zeros(0, np.int64)
-    keys = np.zeros(n, dtype=np.int64)
+        return np.zeros(0, np.int32)
+    keys = np.zeros(n, dtype=np.int32)
     bad = np.zeros(n, dtype=bool)
     for j in range(k):
         c = codes[j:j + n]
-        keys = keys * 4 + np.where(c < 4, c, 0)
+        keys = keys * 4 + np.where(c < 4, c, 0).astype(np.int32)
         bad |= c >= 4
-    return np.where(bad, -1, keys)
+    return np.where(bad, np.int32(-1), keys)
+
+
+def bucket_bits_for(n_kmers: int, k: int) -> int:
+    """Prefix bases of the direct-address table.
+
+    Full-k (exact, searchless) once the reference is large enough that the
+    4^k table is proportionate; otherwise ~4 buckets per stored k-mer so
+    buckets stay near-empty and the key-check gather resolves them exactly.
+    """
+    if n_kmers <= 0:
+        return 1
+    kb = int(np.ceil(np.log2(max(n_kmers, 2) * 4) / 2))
+    return max(4, min(k, kb))
 
 
 @dataclasses.dataclass
 class KmerIndex:
-    """Sorted k-mer index over one reference (or one genome shard)."""
+    """Sorted k-mer index + direct-address bucket table over one reference
+    (or one genome shard)."""
 
     k: int
-    keys_sorted: jax.Array   # (M,) int64 — sorted valid k-mer keys
+    kb: int                  # bucket prefix bases; kb == k -> exact table
+    table: jax.Array         # (4^kb + 1,) int32 bucket -> first sorted slot
+    keys_sorted: jax.Array   # (M,) int32 — sorted valid k-mer keys
     pos_sorted: jax.Array    # (M,) int32 — positions, same order
     ref_len: int
     shard_offset: int = 0    # global position of this shard's base
 
     @classmethod
-    def build(cls, codes: np.ndarray, k: int, shard_offset: int = 0) -> "KmerIndex":
-        keys = pack_kmers_host(np.asarray(codes), k)
-        valid = keys >= 0
-        pos = np.nonzero(valid)[0].astype(np.int32)
-        kv = keys[valid]
-        order = np.argsort(kv, kind="stable")
+    def build(cls, codes: np.ndarray, k: int, shard_offset: int = 0,
+              bucket_bases: Optional[int] = None) -> "KmerIndex":
+        kv, pos, table, kb = build_index_arrays(
+            np.asarray(codes), k, bucket_bases)
         return cls(
             k=k,
-            keys_sorted=jnp.asarray(kv[order]),
-            pos_sorted=jnp.asarray(pos[order]),
+            kb=kb,
+            table=jnp.asarray(table),
+            keys_sorted=jnp.asarray(kv),
+            pos_sorted=jnp.asarray(pos),
             ref_len=int(codes.shape[0]),
             shard_offset=shard_offset,
         )
+
+
+def build_index_arrays(codes: np.ndarray, k: int,
+                       bucket_bases: Optional[int] = None):
+    """Host-side build: (keys_sorted i32, pos_sorted i32, table i32, kb)."""
+    keys = pack_kmers_host(codes, k)
+    valid = keys >= 0
+    pos = np.nonzero(valid)[0].astype(np.int32)
+    kv = keys[valid]
+    order = np.argsort(kv, kind="stable")     # radix sort on int32
+    kv = kv[order]
+    pos = pos[order]
+    kb = bucket_bases or bucket_bits_for(len(kv), k)
+    buckets = (kv >> np.int32(2 * (k - kb))).astype(np.int64)
+    cnt = np.bincount(buckets, minlength=(1 << (2 * kb)))
+    table = np.zeros((1 << (2 * kb)) + 1, np.int32)
+    np.cumsum(cnt, out=table[1:])
+    return kv, pos, table, kb
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -79,22 +125,83 @@ def pack_read_kmers(reads: jax.Array, offsets: jax.Array, k: int):
     Args:
       reads:   (B, R) int8.
       offsets: (Q,) int32 k-mer start offsets within the read.
-    Returns (keys (B, Q) int64, valid (B, Q) bool).
+    Returns (keys (B, Q) int32, valid (B, Q) bool).
     """
     B, R = reads.shape
     idx = offsets[:, None] + jnp.arange(k)[None, :]        # (Q, k)
     sub = reads[:, idx]                                    # (B, Q, k)
     bad = jnp.any(sub >= 4, axis=-1)
-    sub = jnp.where(sub < 4, sub, 0).astype(jnp.int64)
-    weights = (4 ** jnp.arange(k - 1, -1, -1)).astype(jnp.int64)
+    sub = jnp.where(sub < 4, sub, 0).astype(jnp.int32)
+    weights = (4 ** jnp.arange(k - 1, -1, -1)).astype(jnp.int32)
     keys = jnp.sum(sub * weights[None, None, :], axis=-1)
     return keys, ~bad
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stride"))
+def pack_read_kmers_strided(reads: jax.Array, k: int, stride: int):
+    """Strided-offset variant built from k static slices — no gather.
+
+    Equivalent to ``pack_read_kmers(reads, arange(0, R-k+1, stride), k)`` but
+    each of the k base positions is a static strided slice of the read array,
+    which lowers to cheap windowed loads instead of a (B, Q, k) gather.
+    """
+    B, R = reads.shape
+    n = R - k + 1
+    keys = jnp.zeros((B, n), jnp.int32)
+    bad = jnp.zeros((B, n), bool)
+    for j in range(k):
+        c = reads[:, j:j + n]
+        keys = keys * 4 + jnp.where(c < 4, c, 0).astype(jnp.int32)
+        bad = bad | (c >= 4)
+    keys = keys[:, ::stride]
+    bad = bad[:, ::stride]
+    return keys, ~bad
+
+
+def read_kmer_offsets(R: int, k: int, stride: int) -> np.ndarray:
+    """The offsets matching :func:`pack_read_kmers_strided`'s output."""
+    return np.arange(0, R - k + 1, stride, dtype=np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_hits", "k", "kb"))
+def lookup_hits_table(table: jax.Array, keys_sorted: jax.Array,
+                      index_pos: jax.Array, keys: jax.Array, valid: jax.Array,
+                      max_hits: int, k: int, kb: int):
+    """Positions of each query k-mer via the direct-address bucket table.
+
+    Two vector gathers into the table give the bucket's sorted-slot range;
+    hits are the first ``max_hits`` slots.  With kb == k the range is exactly
+    the query key's (no key check needed); with kb < k the bucket may hold
+    several keys, so gathered keys are compared against the query — k-mers
+    whose bucket is dominated by other (repeat) keys lose hits beyond the
+    window, the same spirit as bwa's seed-occurrence cap.
+
+    Returns (positions (..., max_hits) int32, hit_valid (..., max_hits) bool).
+    """
+    M = index_pos.shape[0]
+    if kb < k:
+        bucket = (keys >> (2 * (k - kb))).astype(jnp.int32)
+    else:
+        bucket = keys
+    bucket = jnp.clip(bucket, 0, table.shape[0] - 2)
+    lo = table[bucket]
+    hi = table[bucket + 1]
+    take = jnp.arange(max_hits, dtype=jnp.int32)
+    idx = lo[..., None] + take
+    ok = (idx < hi[..., None]) & valid[..., None]
+    idxc = jnp.clip(idx, 0, M - 1)
+    pos = index_pos[idxc]
+    if kb < k:
+        kg = keys_sorted[idxc]
+        ok = ok & (kg == keys[..., None])
+    return pos, ok
 
 
 @functools.partial(jax.jit, static_argnames=("max_hits",))
 def lookup_hits(index_keys: jax.Array, index_pos: jax.Array,
                 keys: jax.Array, valid: jax.Array, max_hits: int):
-    """Positions of each query k-mer in the index, capped at ``max_hits``.
+    """Binary-search lookup (kept for comparison/testing; the table path is
+    ~75x faster on this TPU runtime — see module docstring).
 
     Returns (positions (..., max_hits) int32, hit_valid (..., max_hits) bool).
     Repeat-rich k-mers are truncated to their first ``max_hits`` sorted

@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from anchored_fusion_tpu.config import AlignConfig
 from anchored_fusion_tpu.io.fasta import Reference
 from anchored_fusion_tpu.index.kmer import (
-    pack_kmers_host, pack_read_kmers, lookup_hits, vote_diagonals)
+    build_index_arrays, bucket_bits_for, pack_read_kmers_strided,
+    lookup_hits_table, vote_diagonals, read_kmer_offsets)
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
     AlignmentResult, both_strands, extend_diagonals, fold_strands,
@@ -35,46 +36,50 @@ from anchored_fusion_tpu.align.aligner import (
 
 
 def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
-    """Split the genome into equal slices (+halo) and index each slice."""
+    """Split the genome into equal slices (+halo) and index each slice.
+
+    All shards share one bucket-prefix width ``kb`` (sized for the largest
+    shard) so the per-shard tables stack into one (S, 4^kb+1) array."""
     L = len(codes)
     per = -(-L // n_shards)
-    keys_list, pos_list, seq_list, offsets = [], [], [], []
+    kb = bucket_bits_for(per + overlap, k)
+    keys_list, pos_list, tbl_list, seq_list, offsets = [], [], [], [], []
     max_m = 0
     max_s = 0
     for s in range(n_shards):
         lo = s * per
         hi = min(L, (s + 1) * per + overlap)
         sl = codes[lo:hi]
-        keys = pack_kmers_host(sl, k)
-        valid = keys >= 0
-        pos = np.nonzero(valid)[0].astype(np.int32)
-        kv = keys[valid]
-        order = np.argsort(kv, kind="stable")
-        keys_list.append(kv[order])
-        pos_list.append(pos[order])
+        kv, pos, table, _ = build_index_arrays(sl, k, bucket_bases=kb)
+        keys_list.append(kv)
+        pos_list.append(pos)
+        tbl_list.append(table)
         seq_list.append(sl)
         offsets.append(lo)
         max_m = max(max_m, len(kv))
         max_s = max(max_s, len(sl))
     S = n_shards
-    keys_arr = np.full((S, max_m), np.iinfo(np.int64).max, np.int64)
+    keys_arr = np.full((S, max_m), np.iinfo(np.int32).max, np.int32)
     pos_arr = np.zeros((S, max_m), np.int32)
+    tbl_arr = np.stack([t for t in tbl_list])
     seq_arr = np.full((S, max_s), PAD, np.int8)
     for s in range(S):
         keys_arr[s, :len(keys_list[s])] = keys_list[s]
         pos_arr[s, :len(pos_list[s])] = pos_list[s]
         seq_arr[s, :len(seq_list[s])] = seq_list[s]
-    return keys_arr, pos_arr, seq_arr, np.asarray(offsets, np.int64)
+    return keys_arr, pos_arr, tbl_arr, seq_arr, np.asarray(offsets, np.int64), kb
 
 
-def _shard_best(reads, keys, pos, seq, offsets, read_offsets,
-                k: int, max_hits: int, top_k: int, match: int, mismatch: int):
+def _shard_best(reads, table, keys, pos, seq, offsets, read_offsets,
+                k: int, kb: int, stride: int, max_hits: int, top_k: int,
+                match: int, mismatch: int):
     """Best alignment of every read against ONE shard's slice (local coords
     folded to global with the shard offset)."""
     B, R = reads.shape
     flat, coord_off = both_strands(reads)
-    rk, kvalid = pack_read_kmers(flat, read_offsets, k)
-    hit_pos, hvalid = lookup_hits(keys, pos, rk, kvalid, max_hits)
+    rk, kvalid = pack_read_kmers_strided(flat, k, stride)
+    hit_pos, hvalid = lookup_hits_table(table, keys, pos, rk, kvalid,
+                                        max_hits, k, kb)
     diags = hit_pos - read_offsets[None, :, None]
     C = diags.shape[1] * diags.shape[2]
     diag, votes = vote_diagonals(diags.reshape(2 * B, C),
@@ -111,19 +116,22 @@ class ShardedGenomeAligner:
         self.n_shards = n_shards
         self.k = self.cfg.genome_kmer
         self.stride = max(1, self.k // 2)
-        keys, pos, seq, offs = _build_shard_arrays(
+        keys, pos, tbl, seq, offs, kb = _build_shard_arrays(
             np.asarray(reference.seq), n_shards, self.k, overlap)
+        self.kb = kb
         self.mesh = mesh
         if mesh is not None:
             mp = mesh.axis_names[1]
             sh = NamedSharding(mesh, P(mp))
             self.keys = jax.device_put(keys, sh)
             self.pos = jax.device_put(pos, sh)
+            self.tbl = jax.device_put(tbl, sh)
             self.seq = jax.device_put(seq, sh)
             self.offs = jax.device_put(offs, sh)
         else:
             self.keys = jnp.asarray(keys)
             self.pos = jnp.asarray(pos)
+            self.tbl = jnp.asarray(tbl)
             self.seq = jnp.asarray(seq)
             self.offs = jnp.asarray(offs)
 
@@ -139,29 +147,31 @@ class ShardedGenomeAligner:
         if seqs.ndim == 1:
             seqs = seqs[None]
         B, R = seqs.shape
-        read_offsets = jnp.arange(0, R - self.k + 1, self.stride, dtype=jnp.int32)
+        read_offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         body = functools.partial(
-            _shard_best, k=self.k, max_hits=max_hits, top_k=top_k,
+            _shard_best, k=self.k, kb=self.kb, stride=self.stride,
+            max_hits=max_hits, top_k=top_k,
             match=cfg.match_score, mismatch=cfg.mismatch_penalty)
 
         if self.mesh is not None:
             mp = self.mesh.axis_names[1]
 
-            def shard_fn(reads, keys, pos, seq, offs):
-                out = body(reads, keys[0], pos[0], seq[0], offs[0], read_offsets)
+            def shard_fn(reads, tbl, keys, pos, seq, offs):
+                out = body(reads, tbl[0], keys[0], pos[0], seq[0], offs[0],
+                           read_offsets)
                 return {n: v[None] for n, v in out.items()}
 
             fn = jax.jit(jax.shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(P(), P(mp), P(mp), P(mp), P(mp)),
+                in_specs=(P(), P(mp), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
-            per_shard = fn(jnp.asarray(seqs), self.keys, self.pos, self.seq,
-                           self.offs)
+            per_shard = fn(jnp.asarray(seqs), self.tbl, self.keys, self.pos,
+                           self.seq, self.offs)
         else:
             fn = jax.jit(jax.vmap(
-                lambda keys, pos, seq, off: body(
-                    jnp.asarray(seqs), keys, pos, seq, off, read_offsets)))
-            per_shard = fn(self.keys, self.pos, self.seq, self.offs)
+                lambda tbl, keys, pos, seq, off: body(
+                    jnp.asarray(seqs), tbl, keys, pos, seq, off, read_offsets)))
+            per_shard = fn(self.tbl, self.keys, self.pos, self.seq, self.offs)
         # one device->host transfer: reduce + stack into a (9, B) int32 array
         red = jax.jit(lambda ps: stack_result(_reduce_best(ps)))(per_shard)
         cat = unstack_result(np.asarray(red))

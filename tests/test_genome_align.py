@@ -87,3 +87,56 @@ def test_genome_aligner_on_synthetic_gene_transcript():
     res = ga.align(encode_ascii(read, length=128)[None])
     assert res.mapped[0]
     assert res.ref_start[0] == sg.genome.to_global("chr1", ex_s) + 10
+
+
+def test_table_lookup_matches_binary_search():
+    """lookup_hits_table (direct-address) parity with lookup_hits."""
+    from anchored_fusion_tpu.index.kmer import (
+        lookup_hits_table, pack_read_kmers_strided, read_kmer_offsets)
+    rng = np.random.default_rng(7)
+    seq = random_seq(rng, 20000)
+    ref = reference_from_dict({"c": seq})
+    idx = KmerIndex.build(ref.seq, 13)
+    assert idx.kb <= 13
+    reads = np.stack([encode_ascii(seq[p:p + 101], length=128)
+                      for p in (500, 7000, 15000)])
+    offsets = read_kmer_offsets(128, 13, 6)
+    keys, valid = pack_read_kmers_strided(jnp.asarray(reads), 13, 6)
+    keys2, valid2 = pack_read_kmers(
+        jnp.asarray(reads), jnp.asarray(offsets), 13)
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(keys2))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
+    pos_t, ok_t = lookup_hits_table(idx.table, idx.keys_sorted, idx.pos_sorted,
+                                    keys, valid, 8, 13, idx.kb)
+    pos_b, ok_b = lookup_hits(idx.keys_sorted, idx.pos_sorted, keys, valid, 8)
+    # same hit sets (table may order-pad differently only in invalid slots)
+    for r in range(reads.shape[0]):
+        for q in range(keys.shape[1]):
+            ht = set(np.asarray(pos_t)[r, q][np.asarray(ok_t)[r, q]])
+            hb = set(np.asarray(pos_b)[r, q][np.asarray(ok_b)[r, q]])
+            assert ht == hb
+
+
+def test_bucket_bits_scale_with_reference():
+    from anchored_fusion_tpu.index.kmer import bucket_bits_for
+    assert bucket_bits_for(1000, 13) < 13        # small ref -> small table
+    assert bucket_bits_for(40_000_000, 13) == 13  # large ref -> exact table
+    assert bucket_bits_for(0, 13) == 1
+
+
+def test_small_kb_key_check_rejects_bucket_collisions():
+    """With kb < k, hits from other keys sharing the bucket are filtered."""
+    from anchored_fusion_tpu.index.kmer import (
+        KmerIndex, lookup_hits_table, pack_read_kmers_strided)
+    # two k-mers sharing a 2-base bucket prefix (kb=2): AAAA-prefix
+    seq = "AAAACCCC" + "AAAAGGGG" + "TTTTTTTT"
+    ref = reference_from_dict({"c": seq})
+    idx = KmerIndex.build(ref.seq, 4, bucket_bases=2)
+    q = encode_ascii("AAAACCCC", length=8)[None]
+    keys, valid = pack_read_kmers_strided(jnp.asarray(q), 4, 4)
+    pos, ok = lookup_hits_table(idx.table, idx.keys_sorted, idx.pos_sorted,
+                                keys, valid, 8, 4, idx.kb)
+    hits0 = set(np.asarray(pos)[0, 0][np.asarray(ok)[0, 0]])  # key AAAA
+    assert 0 in hits0 and 8 in hits0          # both AAAA occurrences
+    hits1 = set(np.asarray(pos)[0, 1][np.asarray(ok)[0, 1]])  # key CCCC
+    assert hits1 == {4}
