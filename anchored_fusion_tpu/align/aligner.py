@@ -66,18 +66,34 @@ class AlignmentResult:
 
 
 # Reference patch matrices are ref-dependent but batch-independent; cache by
-# (array identity, length, width) so repeated calls against the same anchor /
+# CONTENT digest (not id(): CPython reuses addresses after GC, so an id-keyed
+# cache can silently serve a stale seed/window matrix for a different
+# reference of the same length) so repeated calls against the same anchor /
 # candidate reference reuse the device-resident im2col.
 _SEED_CACHE: dict = {}
 
 
-def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int, stride: int = 1):
-    """(seed patch matrix, window matrix) for a small reference, cached."""
-    key = (id(ref_codes), int(np.asarray(ref_codes).shape[0]), read_len, stride)
+def _ref_digest(ref_codes: np.ndarray) -> bytes:
+    import hashlib
+    a = np.ascontiguousarray(np.asarray(ref_codes, np.int8))
+    return hashlib.blake2b(a.tobytes(), digest_size=16).digest()
+
+
+def _seed_matrix_cached(ref_codes: np.ndarray, read_len: int, stride: int = 1,
+                        sharding=None):
+    """(seed patch matrix, window matrix) for a small reference, cached.
+
+    ``sharding`` places the matrices on a specific mesh (replicated) instead
+    of the default device — required when the read batch lives on a mesh of a
+    different backend (e.g. the virtual CPU mesh while a TPU is default).
+    """
+    key = (_ref_digest(ref_codes), read_len, stride, sharding)
     Ws = _SEED_CACHE.get(key)
     if Ws is None:
         Ws = (build_seed_matrix(np.asarray(ref_codes), read_len, stride=stride),
               build_window_matrix(np.asarray(ref_codes), read_len))
+        if sharding is not None:
+            Ws = tuple(jax.device_put(np.asarray(w), sharding) for w in Ws)
         if len(_SEED_CACHE) > 16:
             _SEED_CACHE.clear()
         _SEED_CACHE[key] = Ws
@@ -396,11 +412,13 @@ def align_to_reference_multi(
     min_identity: float = 0.0,
     min_seg_len: int = 10,
     top_k: int = 8,
+    stride: Optional[int] = None,
 ) -> MultiHits:
     """All-hits alignment against a small reference (one BLAT pass).
 
     Queries may be arbitrary consensus sequences; they are padded to a lane
-    multiple internally.
+    multiple internally.  ``stride`` is the seeding sample stride (pass the
+    stage's StagePreset.step; defaults to cfg.seed_stride).
     """
     cfg = cfg or AlignConfig()
     seqs = np.asarray(seqs, dtype=np.int8)
@@ -415,7 +433,8 @@ def align_to_reference_multi(
             [seqs, np.full((Bp - B0, seqs.shape[1]), PAD, np.int8)], axis=0)
     B, R = seqs.shape
     read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
-    stride = getattr(cfg, "seed_stride", 1)
+    if stride is None:
+        stride = getattr(cfg, "seed_stride", 1)
     W, W2 = _seed_matrix_cached(ref_codes, R, stride)
     seg = unstack_multi(np.asarray(_align_multi_core(
         seqs, jnp.asarray(ref_codes, jnp.int8), W, W2, top_k,
@@ -438,12 +457,19 @@ def align_to_reference(
     min_seg_len: Optional[int] = None,
     top_k: Optional[int] = None,
     chunk: int = 8192,
+    mesh=None,
 ) -> AlignmentResult:
     """Align a batch of encoded reads against one reference array.
 
     Host wrapper: chunks the batch to bound the (B, L+R-1) seeding matrix in
     HBM, runs the jitted core, applies the stage thresholds, and returns
     numpy struct-of-arrays.
+
+    With ``mesh`` (jax.sharding.Mesh), each chunk is device_put with its batch
+    axis sharded over the mesh's FIRST axis (dp) and the reference matrices
+    replicated; XLA partitions the seeding matmul and extension over dp with
+    no cross-device communication (the per-read records keep the batch
+    sharding).  SURVEY §2.3 item 1: DP over read batches.
     """
     cfg = cfg or AlignConfig()
     if min_score is None:
@@ -456,20 +482,34 @@ def align_to_reference(
     if seqs.ndim == 1:
         seqs = seqs[None]
     B, R = seqs.shape
-    ref = jnp.asarray(ref_codes, dtype=jnp.int8)
     stride = getattr(cfg, "seed_stride", 1)
-    W, W2 = _seed_matrix_cached(ref_codes, R, stride)
+    batch_mult = 128
+    rep_sh = dp_sh = None
+    if mesh is not None:
+        import math
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep_sh = NamedSharding(mesh, PartitionSpec())
+        dp_sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        dp = mesh.shape[mesh.axis_names[0]]
+        batch_mult = math.lcm(128, dp)
+        chunk = -(-chunk // batch_mult) * batch_mult
+    W, W2 = _seed_matrix_cached(ref_codes, R, stride, sharding=rep_sh)
+    ref = (jnp.asarray(ref_codes, dtype=jnp.int8) if mesh is None
+           else jax.device_put(np.asarray(ref_codes, np.int8), rep_sh))
     outs = []
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
         n_real = sub.shape[0]
         if n_real < chunk:
-            # pad to the chunk size (or a 128-multiple for small batches) to
+            # pad to the chunk size (or a lane multiple for small batches) to
             # bound the set of compiled shapes
-            target = chunk if B > chunk else -(-n_real // 128) * 128
+            target = (chunk if B > chunk
+                      else -(-n_real // batch_mult) * batch_mult)
             if target != n_real:
                 sub = np.concatenate(
                     [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
+        if mesh is not None:
+            sub = jax.device_put(sub, dp_sh)
         # one host->device transfer (jit ingests the numpy batch) and one
         # device->host transfer (the stacked (9, B) result)
         stacked = np.asarray(_align_core_stacked(

@@ -89,7 +89,8 @@ def build_candidate_regions(
     tiles = tile_sequence(np.asarray(anchor_codes))
     hits = align_to_reference_multi(
         tiles, regions.seq, min_score=CANDIDATE_LEAK_PRESET.min_score,
-        min_identity=CANDIDATE_LEAK_PRESET.min_identity, min_seg_len=20)
+        min_identity=CANDIDATE_LEAK_PRESET.min_identity, min_seg_len=20,
+        stride=CANDIDATE_LEAK_PRESET.step)
     for h in range(len(hits.score)):
         r = regions.locate(int(hits.ref_start[h]))
         if r >= 0:
@@ -132,7 +133,8 @@ def find_anchored_split(
     hits = align_to_reference_multi(
         _pad_queries(queries, width), regions.seq,
         min_score=ANCHORED_SPLIT_PRESET.min_score,
-        min_identity=ANCHORED_SPLIT_PRESET.min_identity, min_seg_len=12)
+        min_identity=ANCHORED_SPLIT_PRESET.min_identity, min_seg_len=12,
+        stride=ANCHORED_SPLIT_PRESET.step)
 
     def _region_coords(h, hitset):
         r = regions.locate(int(hitset.ref_start[h]))
@@ -211,7 +213,8 @@ def find_anchored_split(
         hits2 = align_to_reference_multi(
             _pad_queries(ext_seqs, width), regions.seq,
             min_score=ANCHORED_SPLIT_PRESET.min_score,
-            min_identity=ANCHORED_SPLIT_PRESET.min_identity, min_seg_len=12)
+            min_identity=ANCHORED_SPLIT_PRESET.min_identity, min_seg_len=12,
+            stride=ANCHORED_SPLIT_PRESET.step)
         for h in range(len(hits2.score)):
             xi = int(hits2.read_id[h])
             ci, add, _seq = extensions[xi]
@@ -253,7 +256,8 @@ def find_anchored_split(
         hits3 = align_to_reference_multi(
             _pad_queries(anchor_side, width), np.asarray(anchor_codes),
             min_score=ANCHORED_SPLIT_PRESET.min_score,
-            min_identity=ANCHORED_SPLIT_PRESET.min_identity, min_seg_len=12)
+            min_identity=ANCHORED_SPLIT_PRESET.min_identity, min_seg_len=12,
+            stride=ANCHORED_SPLIT_PRESET.step)
         for h in range(len(hits3.score)):
             qi = int(hits3.read_id[h])
             if int(hits3.matches[h]) >= cfg.anchor_consensus_identity * len(anchor_side[qi]):
@@ -439,6 +443,9 @@ def find_candidate_genes(
         width = max(128, -(-max(len(j) for j in juncs) // 128) * 128)
         hits = genome_aligner.align_multi(
             _pad_queries(juncs, width),
+            # preset.step applies to the dense small-reference seeder; the
+            # genome engine's seeding stride is its k-mer sampling stride
+            # (AlignConfig.genome_kmer // 2), fixed at index build.
             min_score=JUNCTION_LINEARITY_PRESET.min_score,
             min_identity=JUNCTION_LINEARITY_PRESET.min_identity, min_seg_len=20)
         by_cand: Dict[int, List[int]] = {}

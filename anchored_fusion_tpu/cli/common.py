@@ -60,6 +60,51 @@ def split_anchor_fasta(path: str) -> Dict[int, str]:
     return {i: seq for i, (_h, seq) in enumerate(iter_fasta(path))}
 
 
+def bootstrap_homo_gene(path: str) -> str:
+    """Build homo_gene.npy from homo_gene_{1,2}.txt.gz when absent.
+
+    Flag parity with Anchored_Fusion.py:37-56: the reference gunzips and cats
+    the two shipped text halves, then parses line 1 as the ';'-joined gene
+    name list and each following line as ``gene\\tidx1;idx2;...`` (indices
+    into that list), saving the dict as .npy.  (The reference's parse calls
+    ``F.readlines()`` twice, so its loop body never runs and the saved dict is
+    empty — we implement the documented intent: gene -> set of homolog gene
+    NAMES, which is what the negative-mining check consumes.)  Pure-Python
+    gzip, no subprocesses.  Returns the resolved .npy path (which may still
+    not exist when the text halves are absent, e.g. the reference repo's
+    missing LFS blobs).
+    """
+    import gzip
+    if not path or os.path.exists(path):
+        return path
+    d = os.path.dirname(path) or "."
+    halves = []
+    for i in (1, 2):
+        txt = os.path.join(d, f"homo_gene_{i}.txt")
+        gz = txt + ".gz"
+        if os.path.exists(txt):
+            with open(txt, "rb") as fh:
+                halves.append(fh.read())
+        elif os.path.exists(gz):
+            with gzip.open(gz, "rb") as fh:
+                halves.append(fh.read())
+        else:
+            return path
+    lines = b"".join(halves).decode().splitlines()
+    if not lines:
+        return path
+    names = lines[0].rstrip().split(";")
+    homo: Dict[str, List[str]] = {}
+    for ln in lines[1:]:
+        parts = ln.rstrip().split("\t")
+        if len(parts) != 2:
+            continue
+        idxs = [int(v) for v in parts[1].split(";") if v]
+        homo[parts[0]] = [names[i] for i in idxs if 0 <= i < len(names)]
+    np.save(path, homo, allow_pickle=True)
+    return path
+
+
 def load_homo_map(path: str) -> Dict[str, Set[str]]:
     """Tolerant loader for the homolog-pair file (.npy dict or 2-col text)."""
     out: Dict[str, Set[str]] = {}
@@ -105,7 +150,7 @@ def setup_filter(args, pipe: FusionPipeline, index: ExonIndex,
     if os.path.exists(neg_path):
         negatives = fdata.read_junction_file(neg_path)
     else:
-        homo_map = load_homo_map(args.homo_gene_file)
+        homo_map = load_homo_map(bootstrap_homo_gene(args.homo_gene_file))
         negatives = mine_negative_junctions(
             pipe.genome_aligner, pipe.genome, index, all_read_seqs,
             gene_names, homo_map)

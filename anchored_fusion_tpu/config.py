@@ -60,30 +60,34 @@ class StagePreset:
 
     The reference runs six BLAT passes with stage-specific knobs
     (functions.py:341, :530, :966, :1007, :1122, :1244, :1522); each maps to
-    one named preset consumed by the same engine.
+    one named preset consumed by the same engine.  ``step`` is the dense
+    seeder's read-position sampling stride (the MXU analogue of blat
+    -stepSize); blat's k-mer size has no counterpart in the dense all-diagonal
+    seeder (it is k-mer-free, full sensitivity at any k), and its -maxGap is
+    structurally satisfied (the extension engine is ungapped; indels go
+    through the SW refiner).
     """
 
     name: str
     min_score: int
     min_identity: float
-    kmer: int
     step: int = 1
-    max_gap: int = 32
 
 
 # blat -stepSize=3 -repMatch=10000 -minScore=50 -minIdentity=80 (functions.py:341)
-HOMOLOG_PRESET = StagePreset("homolog", min_score=50, min_identity=0.80, kmer=11, step=3)
-# blat -minScore=20 (functions.py:530)
-FINE_BLOCK_PRESET = StagePreset("fine_block", min_score=20, min_identity=0.85, kmer=11, step=5)
+HOMOLOG_PRESET = StagePreset("homolog", min_score=50, min_identity=0.80, step=3)
+# blat -minScore=20 (functions.py:530); default blat stepSize is tileSize=11
+# but fine-block queries are short reads — keep full-resolution seeding.
+FINE_BLOCK_PRESET = StagePreset("fine_block", min_score=20, min_identity=0.85, step=1)
 # blat -stepSize=3 -minScore=20 -minMatch=2 -minIdentity=0 (functions.py:966)
-CANDIDATE_LEAK_PRESET = StagePreset("candidate_leak", min_score=20, min_identity=0.0, kmer=11, step=3)
+CANDIDATE_LEAK_PRESET = StagePreset("candidate_leak", min_score=20, min_identity=0.0, step=3)
 # blat -stepSize=3 -minScore=12 -minMatch=2 -minIdentity=90 (functions.py:1007,:1071,:1122)
-ANCHORED_SPLIT_PRESET = StagePreset("anchored_split", min_score=12, min_identity=0.90, kmer=8, step=3)
+ANCHORED_SPLIT_PRESET = StagePreset("anchored_split", min_score=12, min_identity=0.90, step=3)
 # blat -stepSize=3 -minScore=20 -minMatch=3 -minIdentity=90 (functions.py:1244)
-JUNCTION_LINEARITY_PRESET = StagePreset("junction_linearity", min_score=20, min_identity=0.90, kmer=11, step=3)
+JUNCTION_LINEARITY_PRESET = StagePreset("junction_linearity", min_score=20, min_identity=0.90, step=3)
 # blat -stepSize=3 -minScore=0.8*read_len -minMatch=3 -minIdentity=90 -maxGap=1
 # (functions.py:1517-1522); min_score is resolved at runtime from modal read length.
-NEGATIVE_LINEARITY_PRESET = StagePreset("negative_linearity", min_score=0, min_identity=0.90, kmer=13, step=3, max_gap=1)
+NEGATIVE_LINEARITY_PRESET = StagePreset("negative_linearity", min_score=0, min_identity=0.90, step=3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,11 +174,17 @@ class FilterModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh layout: data-parallel read batches x genome-shard axis."""
+    """Device-mesh layout: data-parallel read batches x genome-shard axis.
+
+    Consumed by FusionPipeline: dp shards every alignment read batch, the
+    shard axis splits the genome k-mer index (parallel.sharded_genome).  The
+    default (1, 1) is the identity case — single-device, no mesh; set
+    dp_size=-1 to take all available devices (divided by shard_size).
+    """
 
     dp_axis: str = "dp"
     shard_axis: str = "mp"
-    dp_size: int = -1  # -1: all devices on dp
+    dp_size: int = 1   # -1: all devices / shard_size
     shard_size: int = 1
 
 

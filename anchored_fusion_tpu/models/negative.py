@@ -31,6 +31,7 @@ import numpy as np
 
 from anchored_fusion_tpu.annotate.exon_index import ExonIndex
 from anchored_fusion_tpu.annotate.exon_walk import window_sequence
+from anchored_fusion_tpu.config import NEGATIVE_LINEARITY_PRESET
 from anchored_fusion_tpu.io.fasta import Reference
 
 
@@ -147,14 +148,19 @@ def mine_negative_junctions(
         if len(picked) >= max_rows:
             break
 
-    # linear-genome rejection: any read with a near-full-length hit is not a
-    # chimera (blat -minScore=0.8*modal_len, functions.py:1517-1538)
+    # linear-genome rejection: any read with a near-full-length high-identity
+    # hit is not a chimera (blat -minScore=0.8*modal_len -minIdentity=90
+    # -maxGap=1, functions.py:1517-1538; NEGATIVE_LINEARITY_PRESET — its
+    # min_score resolves at runtime from the modal read length, its maxGap=1
+    # is structurally satisfied by the ungapped extension engine)
     modal = max(lengths, key=lengths.get) if lengths else 101
     min_match = int(modal * 0.8)
+    min_ident = NEGATIVE_LINEARITY_PRESET.min_identity
     bad: Set[int] = set()
     for rid, hs in by_read.items():
         for h in hs:
-            if int(hits.matches[h]) >= min_match:
+            if (int(hits.matches[h]) >= min_match
+                    and int(hits.matches[h]) >= min_ident * int(hits.length[h])):
                 bad.add(rid)
                 break
     for rid, g1, g2 in picked:

@@ -1,9 +1,12 @@
 """Filter-model training loop (Train_model parity, Model.py:257-312).
 
 Adam lr=1e-4, batch 256, 30 epochs, class-balanced 70/30 split, checkpoint on
-best held-out AUC.  Data-parallel over the mesh's dp axis when more than one
-device is visible: the batch is sharded with NamedSharding and the jitted
-train step lets XLA insert the gradient psum (SURVEY §2.3 item 5).
+best held-out AUC.  Pass ``mesh`` to train data-parallel over its first axis:
+parameters/optimizer state are replicated, each batch is device_put with the
+batch axis sharded over dp, and the jitted train step lets XLA insert the
+gradient psum from the input shardings (SURVEY §2.3 item 5).  Ragged tail
+batches (not divisible by dp) run replicated — same numerics, no padding
+rows polluting the BatchNorm statistics.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import serialization
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from anchored_fusion_tpu.config import FilterModelConfig
 from anchored_fusion_tpu.models.filter_cnn import FilterModel, deep_supervision_loss
@@ -76,9 +80,29 @@ def train_filter_model(
     model_file: Optional[str] = None,
     warm_start: Optional[TrainedFilter] = None,
     verbose: bool = True,
+    mesh: Optional[Mesh] = None,
 ) -> TrainedFilter:
-    """Train on junction strings; returns the best-AUC checkpoint."""
+    """Train on junction strings; returns the best-AUC checkpoint.
+
+    With ``mesh``, batches are dp-sharded over the mesh's first axis (data
+    parallelism; XLA inserts the gradient all-reduce).
+    """
     cfg = cfg or FilterModelConfig()
+    dp = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        dp_shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+        def put_batch(x, y):
+            sh = dp_shard if x.shape[0] % dp == 0 else rep
+            return jax.device_put(x, sh), jax.device_put(y, sh)
+
+        def put_eval(x):
+            return jax.device_put(
+                x, dp_shard if x.shape[0] % dp == 0 else rep)
+    else:
+        put_batch = lambda x, y: (jnp.asarray(x), jnp.asarray(y))
+        put_eval = jnp.asarray
     rng = np.random.default_rng(cfg.seed)
     p_tr, p_te, n_tr, n_te = fdata.balanced_split(
         list(positives), list(negatives), rng, cfg.train_frac)
@@ -101,6 +125,12 @@ def train_filter_model(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
+    if mesh is not None:
+        rep_put = lambda t: jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), rep)
+            if hasattr(a, "shape") else a, t)
+        params, batch_stats, opt_state = (rep_put(params), rep_put(batch_stats),
+                                          rep_put(opt_state))
 
     bs = cfg.batch_size
     best_auc = 0.0
@@ -111,16 +141,16 @@ def train_filter_model(
         for lo in range(0, len(order), bs):
             sel = order[lo:lo + bs]
             key, sub = jax.random.split(key)
+            xb, yb = put_batch(X_tr[sel], y_tr[sel])
             params, batch_stats, opt_state, loss, final = train_step(
-                params, batch_stats, opt_state,
-                jnp.asarray(X_tr[sel]), jnp.asarray(y_tr[sel]), sub)
+                params, batch_stats, opt_state, xb, yb, sub)
             preds.append(np.asarray(final[:, 1]))
             truth.append(y_tr[sel])
         tr_auc = fdata.roc_auc(np.concatenate(truth), np.concatenate(preds))
         te_scores = []
         for lo in range(0, X_te.shape[0], bs):
             te_scores.append(np.asarray(
-                eval_step(params, batch_stats, jnp.asarray(X_te[lo:lo + bs]))[:, 1]))
+                eval_step(params, batch_stats, put_eval(X_te[lo:lo + bs]))[:, 1]))
         te_auc = fdata.roc_auc(y_te, np.concatenate(te_scores)) if te_scores else 0.0
         if verbose:
             print(f"epoch {epoch}: train_auc={tr_auc:.3f} test_auc={te_auc:.3f}")

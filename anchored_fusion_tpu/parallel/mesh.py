@@ -26,6 +26,27 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
     return Mesh(devs.reshape(shape), axis_names)
 
 
+def mesh_from_config(mc, devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Build the pipeline mesh requested by a config.MeshConfig.
+
+    Returns None when the config resolves to a single device (the identity
+    case: the pipeline runs unsharded).  ``dp_size=-1`` means "all available
+    devices divided by shard_size".
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    mp = max(1, mc.shard_size)
+    dp = mc.dp_size
+    if dp == -1:
+        dp = max(1, len(devs) // mp)
+    if dp * mp <= 1:
+        return None
+    if dp * mp > len(devs):
+        raise ValueError(f"mesh {dp}x{mp} needs {dp * mp} devices, "
+                         f"have {len(devs)}")
+    return make_mesh((dp, mp), (mc.dp_axis, mc.shard_axis),
+                     devices=devs[:dp * mp])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over dp, replicate the rest."""
     return NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -16,6 +16,7 @@ is validated against it on the virtual CPU mesh.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional
 
@@ -31,8 +32,9 @@ from anchored_fusion_tpu.index.kmer import (
     lookup_hits_table, vote_diagonals, read_kmer_offsets)
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
-    AlignmentResult, both_strands, extend_diagonals, fold_strands,
-    stack_result, unstack_result)
+    AlignmentResult, MultiHits, both_strands, extend_diagonals,
+    extend_diagonals_all, fold_strands, stack_result, unstack_result,
+    stack_multi, unstack_multi, _flatten_multi)
 
 
 def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
@@ -99,6 +101,32 @@ def _reduce_best(per_shard: dict):
     return {n: take(v) for n, v in per_shard.items()}
 
 
+def _shard_multi(reads, table, keys, pos, seq, offsets, read_offsets,
+                 k: int, kb: int, stride: int, max_hits: int, top_k: int,
+                 match: int, mismatch: int):
+    """All-hits alignment of every read against ONE shard's slice.
+
+    Returns the stacked (6, 2B, top_k) multi-hit candidates with the shard
+    offset already folded into 'off' (global coordinates)."""
+    B, R = reads.shape
+    flat, _ = both_strands(reads)
+    rk, kvalid = pack_read_kmers_strided(flat, k, stride)
+    hit_pos, hvalid = lookup_hits_table(table, keys, pos, rk, kvalid,
+                                        max_hits, k, kb)
+    diags = hit_pos - read_offsets[None, :, None]
+    C = diags.shape[1] * diags.shape[2]
+    diag, votes = vote_diagonals(diags.reshape(2 * B, C),
+                                 hvalid.reshape(2 * B, C), top_k)
+    sentinel = jnp.int32(-(2 ** 30) // 2)
+    offs = jnp.where(votes > 0, diag, sentinel)
+    seg = extend_diagonals_all(flat, seq, offs, match, mismatch)
+    # global frame; sentinel offsets stay far negative and score 0 (PAD
+    # windows), so the flatten-side min_score filter drops them
+    seg["off"] = jnp.where(offs == sentinel, sentinel,
+                           offs + jnp.asarray(offsets, jnp.int32))
+    return stack_multi(seg)
+
+
 class ShardedGenomeAligner:
     """Genome alignment over a sharded k-mer index.
 
@@ -146,6 +174,12 @@ class ShardedGenomeAligner:
         seqs = np.asarray(seqs, np.int8)
         if seqs.ndim == 1:
             seqs = seqs[None]
+        B0 = seqs.shape[0]
+        # pad the batch to a 128-multiple: bounds the set of compiled shapes
+        Bp = -(-B0 // 128) * 128
+        if Bp != B0:
+            seqs = np.concatenate(
+                [seqs, np.full((Bp - B0, seqs.shape[1]), PAD, np.int8)], axis=0)
         B, R = seqs.shape
         read_offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         body = functools.partial(
@@ -174,7 +208,7 @@ class ShardedGenomeAligner:
             per_shard = fn(self.tbl, self.keys, self.pos, self.seq, self.offs)
         # one device->host transfer: reduce + stack into a (9, B) int32 array
         red = jax.jit(lambda ps: stack_result(_reduce_best(ps)))(per_shard)
-        cat = unstack_result(np.asarray(red))
+        cat = {n: v[:B0] for n, v in unstack_result(np.asarray(red)).items()}
         length = cat["length"]
         matches = cat["matches"]
         mapped = (cat["score"] >= min_score) & (length >= min_seg_len)
@@ -190,3 +224,74 @@ class ShardedGenomeAligner:
             second_score=cat["second_score"].astype(np.int32),
             mapped=mapped,
         )
+
+    def align_multi(self, seqs: np.ndarray, min_score: int = 20,
+                    min_identity: float = 0.0, min_seg_len: int = 10,
+                    top_k: int = 8, max_hits: Optional[int] = None) -> MultiHits:
+        """All-hits genome alignment over the sharded index (one BLAT pass).
+
+        Each shard aligns the full batch against its slice; the per-shard
+        (6, 2B, k) candidate tensors are gathered, flattened with the same
+        PSL-frame conversion as the single-index engine, concatenated, and
+        halo duplicates (hits lying entirely inside an overlap region, found
+        by both neighbouring shards) deduplicated by global coordinates.
+        """
+        cfg = self.cfg
+        max_hits = max_hits or cfg.max_hits_per_kmer
+        seqs = np.asarray(seqs, np.int8)
+        if seqs.ndim == 1:
+            seqs = seqs[None]
+        B0 = seqs.shape[0]
+        Bp = -(-B0 // 64) * 64
+        if Bp != B0:
+            seqs = np.concatenate(
+                [seqs, np.full((Bp - B0, seqs.shape[1]), PAD, np.int8)], axis=0)
+        B, R = seqs.shape
+        read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
+        read_offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        body = functools.partial(
+            _shard_multi, k=self.k, kb=self.kb, stride=self.stride,
+            max_hits=max_hits, top_k=top_k,
+            match=cfg.match_score, mismatch=cfg.mismatch_penalty)
+
+        if self.mesh is not None:
+            mp = self.mesh.axis_names[1]
+
+            def shard_fn(reads, tbl, keys, pos, seq, offs):
+                out = body(reads, tbl[0], keys[0], pos[0], seq[0], offs[0],
+                           read_offsets)
+                return out[None]
+
+            fn = jax.jit(jax.shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=(P(), P(mp), P(mp), P(mp), P(mp), P(mp)),
+                out_specs=P(mp)))
+            per_shard = np.asarray(fn(jnp.asarray(seqs), self.tbl, self.keys,
+                                      self.pos, self.seq, self.offs))
+        else:
+            fn = jax.jit(jax.vmap(
+                lambda tbl, keys, pos, seq, off: body(
+                    jnp.asarray(seqs), tbl, keys, pos, seq, off, read_offsets)))
+            per_shard = np.asarray(fn(self.tbl, self.keys, self.pos, self.seq,
+                                      self.offs))
+        parts = []
+        for s in range(per_shard.shape[0]):
+            seg = unstack_multi(per_shard[s])
+            mh = _flatten_multi(seg, read_lens, B, top_k, min_score,
+                                min_identity, min_seg_len, R)
+            sel = mh.read_id < B0
+            parts.append(MultiHits(**{
+                f.name: getattr(mh, f.name)[sel]
+                for f in dataclasses.fields(MultiHits)}))
+        cat = MultiHits(**{
+            f.name: np.concatenate([getattr(p, f.name) for p in parts])
+            for f in dataclasses.fields(MultiHits)})
+        # halo dedup by (read, strand, query span, global ref start)
+        key = np.stack([cat.read_id.astype(np.int64), cat.strand.astype(np.int64),
+                        cat.q_start.astype(np.int64), cat.ref_start], axis=1)
+        _, uniq = np.unique(key, axis=0, return_index=True)
+        uniq.sort()
+        order = uniq[np.argsort(cat.read_id[uniq], kind="stable")]
+        return MultiHits(**{
+            f.name: getattr(cat, f.name)[order]
+            for f in dataclasses.fields(MultiHits)})

@@ -54,18 +54,37 @@ class GeneCallResult:
 
 
 class FusionPipeline:
-    """Holds genome-wide state (genome, exon index, k-mer index) across genes."""
+    """Holds genome-wide state (genome, exon index, k-mer index) across genes.
+
+    The pipeline is mesh-aware end to end (SURVEY §2.3): pass ``mesh`` (or set
+    cfg.mesh sizes) to run every alignment batch data-parallel over the mesh's
+    dp axis and the genome k-mer index sharded over its mp axis.  The
+    single-device path (mesh=None) is the identity case — byte-identical
+    outputs, no collectives.
+    """
 
     def __init__(self, genome: Reference, exon_index: ExonIndex,
                  gene_rows: Sequence[tuple],
                  cfg: Optional[PipelineConfig] = None,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 mesh=None):
         from anchored_fusion_tpu.utils.checkpoint import StageCache
+        from anchored_fusion_tpu.parallel.mesh import mesh_from_config
         self.cfg = cfg or PipelineConfig()
         self.genome = genome
         self.exon_index = exon_index
         self.gene_rows = list(gene_rows)
-        self.genome_aligner = GenomeAligner(genome, self.cfg.align)
+        if mesh is None:
+            mesh = mesh_from_config(self.cfg.mesh)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape[mesh.axis_names[1]] > 1:
+            from anchored_fusion_tpu.parallel.sharded_genome import (
+                ShardedGenomeAligner)
+            self.genome_aligner = ShardedGenomeAligner(
+                genome, n_shards=mesh.shape[mesh.axis_names[1]],
+                cfg=self.cfg.align, mesh=mesh)
+        else:
+            self.genome_aligner = GenomeAligner(genome, self.cfg.align)
         self.cache = StageCache(cache_dir)
 
     def call_gene(
@@ -89,9 +108,9 @@ class FusionPipeline:
         lens = reads.length.reshape(n * 2)
         names = [nm for nm in reads.names for _ in range(2)]
 
-        # 1. anchor alignment
+        # 1. anchor alignment (dp-sharded over the mesh when present)
         res = align_to_reference(seqs, anchor_codes, cfg.align,
-                                 chunk=cfg.read_batch)
+                                 chunk=cfg.read_batch, mesh=self.mesh)
         kind, lclip, rclip = classify_clips(res, lens)
         counters["reads"] = n * 2
         counters["anchor_mapped"] = int(res.mapped.sum())

@@ -89,6 +89,29 @@ def test_filter_train_learns_and_roundtrips(tmp_path):
     assert sp > sn
 
 
+def test_filter_train_data_parallel_matches_single_device():
+    """DP-sharded training (batch over the mesh's dp axis) follows the same
+    AUC trajectory as single-device training: same seeds, same data order,
+    gradient psum inserted by XLA (SURVEY §2.3 item 5)."""
+    from anchored_fusion_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(0)
+    pos, neg = _mk_lines(rng, 120, True), _mk_lines(rng, 120, False)
+    cfg = dataclasses_replace_epochs(SMALL_CFG, 3)
+    single = train_filter_model(pos, neg, cfg, verbose=False)
+    mesh = make_mesh((8, 1), devices=jax.devices("cpu")[:8])
+    sharded = train_filter_model(pos, neg, cfg, verbose=False, mesh=mesh)
+    probe = _mk_lines(rng, 32, True) + _mk_lines(rng, 32, False)
+    s1 = np.asarray(score_junctions(single, probe))
+    s2 = np.asarray(score_junctions(sharded, probe))
+    np.testing.assert_allclose(s1, s2, atol=2e-2)
+    assert abs(single.best_auc - sharded.best_auc) < 0.05
+
+
+def dataclasses_replace_epochs(cfg, n):
+    import dataclasses
+    return dataclasses.replace(cfg, num_epochs=n)
+
+
 def test_bilstm_variant_trains():
     from anchored_fusion_tpu.models.bilstm import train_bilstm, encode_61
     rng = np.random.default_rng(1)

@@ -88,6 +88,45 @@ def test_full_pipeline_recovers_engineered_fusion(synth, tmp_path):
     assert expected in txt
 
 
+def test_pipeline_mesh_matches_single_device(synth, tmp_path):
+    """The mesh IS the pipeline's spine: the same call_gene on a dp x mp
+    device mesh (anchored alignment dp-sharded, genome k-mer index mp-sharded,
+    SURVEY §2.3 items 1-2) must produce the identical GeneCallResult as the
+    single-device identity path."""
+    import jax
+    from anchored_fusion_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    rng, sg, anchor, partner, decoy = synth
+    reads, fusion_tx, break5 = _make_reads(rng, sg, anchor, partner, decoy)
+    index = ExonIndex(sg.gtf_dic, inject_loci=False)
+    anchor_codes = encode_ascii(anchor.transcript(sg.genome))
+
+    single = FusionPipeline(sg.genome, index, sg.gene_rows(),
+                            PipelineConfig(filter_false_positive=False))
+    r1 = single.call_gene(anchor.name, anchor_codes, reads,
+                          out_prefix=str(tmp_path / "single"))
+
+    mesh = make_mesh((4, 2), devices=devs[:8])
+    sharded = FusionPipeline(sg.genome, index, sg.gene_rows(),
+                             PipelineConfig(filter_false_positive=False),
+                             mesh=mesh)
+    assert sharded.mesh is mesh
+    assert type(sharded.genome_aligner).__name__ == "ShardedGenomeAligner"
+    r2 = sharded.call_gene(anchor.name, anchor_codes, reads,
+                           out_prefix=str(tmp_path / "mesh"))
+
+    assert r2.rows == r1.rows
+    assert r2.homo_genes == r1.homo_genes
+    for k in r1.counters:
+        if k != "wall_s":
+            assert r2.counters[k] == r1.counters[k], (k, r1.counters, r2.counters)
+    assert [(c.breakpoint, c.type_, c.cnt) for c in r2.clusters] == \
+           [(c.breakpoint, c.type_, c.cnt) for c in r1.clusters]
+
+
 def test_pipeline_no_fusion_on_wildtype_reads(synth, tmp_path):
     rng, sg, anchor, partner, decoy = synth
     tx_a = anchor.transcript(sg.genome)
