@@ -526,7 +526,7 @@ def align_to_reference(
     matches = cat["matches"]
     ident = matches / np.maximum(length, 1)
     mapped = (cat["score"] >= min_score) & (length >= min_seg_len) & (ident >= min_identity)
-    return AlignmentResult(
+    res = AlignmentResult(
         score=cat["score"].astype(np.int32),
         strand=cat["strand"].astype(np.int8),
         read_start=cat["read_start"].astype(np.int32),
@@ -538,6 +538,32 @@ def align_to_reference(
         second_score=cat["second_score"].astype(np.int32),
         mapped=mapped,
     )
+    if getattr(cfg, "gapped_refine", False):
+        from anchored_fusion_tpu.align.refine import refine_result
+        res = refine_result(res, seqs, np.asarray(ref_codes), cfg,
+                            min_score, min_identity, min_seg_len)
+    return res
+
+
+def orient_reads(seqs: np.ndarray, strands: np.ndarray) -> np.ndarray:
+    """Apply per-read strand to raw read codes (SAM SEQ convention), batched.
+
+    Reverse rows are left-aligned with an arithmetic index gather (no per-row
+    roll: ``vmap(jnp.roll)``/py-loop rolls are the slow path on TPU/host):
+    revcomp of a right-padded row leaves its PAD run in front, so row i of the
+    output reads ``rc[(j + R - len_i) % R]``.
+    """
+    seqs = np.asarray(seqs)
+    strands = np.asarray(strands)
+    R = seqs.shape[1]
+    rev_rows = np.nonzero(strands == 1)[0]
+    out = seqs.copy()
+    if len(rev_rows):
+        rc = revcomp(seqs[rev_rows])
+        lens = (seqs[rev_rows] != PAD).sum(axis=1)
+        idx = (np.arange(R)[None, :] + (R - lens[:, None])) % R
+        out[rev_rows] = np.take_along_axis(rc, idx, axis=1)
+    return out
 
 
 def classify_clips(res: AlignmentResult, read_lengths: np.ndarray, min_clip: int = 1):

@@ -126,7 +126,7 @@ class GenomeAligner:
         ident = matches / np.maximum(length, 1)
         mapped = ((cat["score"] >= min_score) & (length >= min_seg_len)
                   & (ident >= min_identity))
-        return AlignmentResult(
+        res = AlignmentResult(
             score=cat["score"].astype(np.int32),
             strand=cat["strand"].astype(np.int8),
             read_start=cat["read_start"].astype(np.int32),
@@ -138,6 +138,11 @@ class GenomeAligner:
             second_score=cat["second_score"].astype(np.int32),
             mapped=mapped,
         )
+        if getattr(cfg, "gapped_refine", False):
+            from anchored_fusion_tpu.align.refine import refine_result
+            res = refine_result(res, seqs, self.reference.seq, cfg,
+                                min_score, min_identity, min_seg_len)
+        return res
 
     def align_multi(self, seqs: np.ndarray, min_score: int = 20,
                     min_identity: float = 0.0, min_seg_len: int = 10,

@@ -4,10 +4,18 @@ The Kadane extension is exact for SNP-only reads; a read with an indel splits
 its diagonal and the best ungapped segment covers only the longer side,
 under-reporting the aligned span (bwa-mem would bridge the gap with an
 affine-gap extension, O6/E1).  This post-pass re-aligns the *suspicious*
-minority — mapped reads whose identity or span suggests a bridgeable gap —
+minority — mapped-ish reads whose identity or span suggests a bridgeable gap —
 with the affine Smith-Waterman (ops/sw.py, ops/sw_pallas.py) over a widened
 window around their diagonal, and adopts the gapped coordinates when they
-score strictly higher.
+score strictly higher.  Both production aligners call this via
+:func:`refine_result` (config-gated by ``AlignConfig.gapped_refine``), giving
+the pipeline bwa-parity soft-clip boundaries for indel-containing reads
+(functions.py:669-683 normalizes I/D ops because bwa emits them).
+
+``matches`` of adopted alignments are exact: a small packed-int64 numpy DP
+(:func:`path_matches`) re-runs the same affine recurrence carrying the match
+count of the best-scoring path, so downstream identity filters see the real
+value, not a bound.
 """
 
 from __future__ import annotations
@@ -64,6 +72,63 @@ def _sw_align_fast(reads, wins, rv, wv, cfg: AlignConfig):
     }
 
 
+def path_matches(reads: np.ndarray, wins: np.ndarray, match: int = 1,
+                 mismatch: int = 4, gap_open: int = 6,
+                 gap_extend: int = 1) -> np.ndarray:
+    """Exact match counts of the best local affine-gap path per pair.
+
+    Same recurrence and gap convention as ops/sw.sw_end (first gap base costs
+    open+extend), run on host over packed int64 cells ``score*SC + matches``:
+    every max() is then lexicographic (score first, match count as the
+    tiebreak), so the count ALWAYS belongs to an optimal-score path.  Only the
+    handful of reads that adopt gapped coordinates go through this.
+    """
+    n, R = reads.shape
+    W = wins.shape[1]
+    SC = np.int64(1) << 20
+    NEG = np.int64(-1) << 40
+    go = (gap_open + gap_extend) * SC
+    ge = gap_extend * SC
+
+    rvalid = (reads != PAD) & (reads < 4)
+    wvalid = (wins != PAD) & (wins < 4)
+    H = np.zeros((n, R), np.int64)
+    E = np.full((n, R), NEG, np.int64)
+    best = np.zeros(n, np.int64)
+    k = np.arange(R, dtype=np.int64)[None, :]
+    for j in range(W):
+        wcol = wins[:, j:j + 1]
+        eq = (reads == wcol) & rvalid & (wvalid[:, j:j + 1])
+        s = np.where(eq, match * SC + 1, -np.int64(mismatch) * SC)
+        s = np.where(rvalid & wvalid[:, j:j + 1], s, NEG)
+        E = np.maximum(H - go, E - ge)
+        diag = np.concatenate([np.zeros((n, 1), np.int64), H[:, :-1]], axis=1)
+        HnoF = np.maximum(np.maximum(diag + s, E), 0)
+        # F (gap down the read axis) as a prefix max of HnoF + k*ge
+        g = HnoF - go + (k + 1) * ge
+        gmax = np.maximum.accumulate(g, axis=1)
+        F = np.concatenate([np.full((n, 1), NEG), gmax[:, :-1]], axis=1) - k * ge
+        H = np.maximum(HnoF, F)
+        best = np.maximum(best, H.max(axis=1))
+    return (best & (SC - 1)).astype(np.int32)
+
+
+def extract_windows(ref_codes: np.ndarray, win_start: np.ndarray,
+                    W: int) -> np.ndarray:
+    """Gather (n, W) windows at ``win_start`` with PAD outside the reference.
+
+    No full-reference copy (the genome aligner refines against multi-GB
+    references); one fancy-indexed gather over the needed cells only.
+    """
+    ref_codes = np.asarray(ref_codes, np.int8)
+    L = len(ref_codes)
+    idx = np.asarray(win_start, np.int64)[:, None] + np.arange(W)[None, :]
+    valid = (idx >= 0) & (idx < L)
+    out = np.full(idx.shape, PAD, np.int8)
+    out[valid] = ref_codes[idx[valid]]
+    return out
+
+
 def select_for_refinement(res: AlignmentResult, read_lens: np.ndarray,
                           min_score: int = 20, max_identity: float = 0.97,
                           min_tail: int = 8) -> np.ndarray:
@@ -74,6 +139,22 @@ def select_for_refinement(res: AlignmentResult, read_lens: np.ndarray,
     cand = (res.score >= min_score) & (
         (res.identity < max_identity) | (tail >= min_tail))
     return np.nonzero(cand)[0]
+
+
+_REFINE_CHUNK = 1024
+
+
+def _pad_batch(n: int) -> int:
+    """Bucketed batch sizes so the SW kernel sees <=3 distinct shapes.
+
+    Anything above the largest bucket is chunked at exactly _REFINE_CHUNK by
+    the caller — an unbounded k*1024 padding would compile a fresh Pallas
+    program per distinct suspicious-set size (minutes each through the
+    remote TPU toolchain)."""
+    for b in (64, 256, _REFINE_CHUNK):
+        if n <= b:
+            return b
+    return _REFINE_CHUNK
 
 
 def refine_alignments(
@@ -87,32 +168,39 @@ def refine_alignments(
     """Return a copy of ``res`` with gapped coordinates where SW wins."""
     cfg = cfg or AlignConfig()
     band = band or cfg.band_half_width
-    sel = select_for_refinement(res, read_lens, min_score=cfg.min_align_score // 2)
+    # suspicious = near-threshold-or-better score with imperfect identity or
+    # a meaningful unaligned tail; bwa's -T is 30, gap bridging can only add
+    # score, so 0.8*T catches every rescuable indel read without dragging
+    # random-junk diagonals through the SW pass
+    sel = select_for_refinement(
+        res, read_lens, min_score=int(cfg.min_align_score * 0.8))
     if len(sel) == 0:
         return res
     R = oriented_seqs.shape[1]
     W = R + 2 * band
     L = len(ref_codes)
-    refp = np.concatenate([np.full(W, PAD, np.int8), np.asarray(ref_codes),
-                           np.full(W, PAD, np.int8)])
     # window start so the current segment sits centered with +-band slack
     diag = res.ref_start[sel] - res.read_start[sel]
-    win_start = diag - band
+    win_start = np.asarray(diag, np.int64) - band
     n = len(sel)
-    n_pad = -(-n // 64) * 64
-    reads = np.full((n_pad, R), PAD, np.int8)
-    wins = np.full((n_pad, W), PAD, np.int8)
-    reads[:n] = oriented_seqs[sel]
-    for i, ws in enumerate(win_start):
-        wins[i] = refp[W + int(ws): 2 * W + int(ws)]
-    rv = reads != PAD
-    wv = wins != PAD
-    out = _sw_align_fast(reads, wins, rv, wv, cfg)
-    score = np.asarray(out["score"])[:n]
-    sr = np.asarray(out["start_read"])[:n]
-    er = np.asarray(out["end_read"])[:n]
-    sj = np.asarray(out["start_win"])[:n]
-    ej = np.asarray(out["end_win"])[:n]
+    parts = {k: [] for k in ("score", "start_read", "end_read",
+                             "start_win", "end_win")}
+    for lo in range(0, n, _REFINE_CHUNK):
+        hi = min(lo + _REFINE_CHUNK, n)
+        m = hi - lo
+        m_pad = _pad_batch(m)
+        reads = np.full((m_pad, R), PAD, np.int8)
+        reads[:m] = oriented_seqs[sel[lo:hi]]
+        wins = np.full((m_pad, W), PAD, np.int8)
+        wins[:m] = extract_windows(ref_codes, win_start[lo:hi], W)
+        out = _sw_align_fast(reads, wins, reads != PAD, wins != PAD, cfg)
+        for k in parts:
+            parts[k].append(np.asarray(out[k])[:m])
+    score = np.concatenate(parts["score"])
+    sr = np.concatenate(parts["start_read"])
+    er = np.concatenate(parts["end_read"])
+    sj = np.concatenate(parts["start_win"])
+    ej = np.concatenate(parts["end_win"])
     better = score > res.score[sel]
     idx = sel[better]
     new = AlignmentResult(**{f: np.array(getattr(res, f))
@@ -120,15 +208,38 @@ def refine_alignments(
                                        "read_end", "ref_start", "ref_end",
                                        "matches", "length", "second_score",
                                        "mapped")})
-    new.score[idx] = score[better]
-    new.read_start[idx] = sr[better]
-    new.read_end[idx] = er[better]
-    new.ref_start[idx] = win_start[better] + sj[better]
-    new.ref_end[idx] = win_start[better] + ej[better]
-    new.length[idx] = er[better] - sr[better] + 1
-    # identity bookkeeping: SW score = matches - penalties; keep a
-    # conservative matches estimate (>= score)
-    new.matches[idx] = np.maximum(new.matches[idx], score[better])
-    new.ref_start[idx] = np.clip(new.ref_start[idx], 0, L - 1)
-    new.ref_end[idx] = np.clip(new.ref_end[idx], 0, L - 1)
+    if len(idx):
+        new.score[idx] = score[better]
+        new.read_start[idx] = sr[better]
+        new.read_end[idx] = er[better]
+        new.ref_start[idx] = np.clip(win_start[better] + sj[better], 0, L - 1)
+        new.ref_end[idx] = np.clip(win_start[better] + ej[better], 0, L - 1)
+        new.length[idx] = er[better] - sr[better] + 1
+        # exact matches of the adopted gapped paths (real identity downstream)
+        new.matches[idx] = path_matches(
+            oriented_seqs[idx], extract_windows(ref_codes, win_start[better], W),
+            cfg.match_score, cfg.mismatch_penalty, cfg.gap_open,
+            cfg.gap_extend)
+    return new
+
+
+def refine_result(res: AlignmentResult, seqs: np.ndarray,
+                  ref_codes: np.ndarray, cfg: AlignConfig,
+                  min_score: int, min_identity: float,
+                  min_seg_len: int) -> AlignmentResult:
+    """Config-gated gapped post-pass shared by both production aligners.
+
+    Orients the raw reads, refines, and re-applies the stage's mapping
+    thresholds (an indel read can cross them only after its gap is bridged —
+    matching bwa, which maps such reads outright).
+    """
+    from anchored_fusion_tpu.align.aligner import orient_reads
+    if not len(seqs):
+        return res
+    lens = (np.asarray(seqs) != PAD).sum(axis=1)
+    osq = orient_reads(np.asarray(seqs), res.strand)
+    new = refine_alignments(res, osq, lens, ref_codes, cfg)
+    ident = new.matches / np.maximum(new.length, 1)
+    new.mapped = ((new.score >= min_score) & (new.length >= min_seg_len)
+                  & (ident >= min_identity))
     return new

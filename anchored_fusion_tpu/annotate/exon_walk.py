@@ -1,13 +1,21 @@
 """Exon-walk windows: spliced +-length bp windows around a genomic position.
 
-Faithful re-implementation of the reference's ``find_positions``
-(functions.py:1331-1391): starting from the exon containing ``pos``, walk
-exon intervals of the same gene upstream and downstream collecting ``length``
-bp of *exonic* sequence on each side.  Returns a list of 0-based half-open
-(start, end) intervals with an ('H', '') sentinel separating the upstream and
-downstream halves — identical structure to the reference so every consumer
-(block expansion functions.py:490-495, negative mining :1553-1568, filter
-inputs :1663-1674) ports over unchanged.
+Behavior-parity re-derivation of the reference's ``find_positions``
+(functions.py:1331-1391): from the exon containing ``pos``, collect up to
+``length`` bp of *exonic* sequence on each side, hopping introns and skipping
+interleaved rows of other genes.  The two directions are one symmetric
+routine here (``_half_window``) instead of the reference's twin loops; output
+is the identical structure — 0-based half-open (start, end) intervals in
+genomic order with an ('H', '') sentinel between the upstream and downstream
+halves — so every consumer (block expansion functions.py:490-495, negative
+mining :1553-1568, filter inputs :1663-1674) sees the same contract.
+Golden-tested against the reference function itself in
+tests/test_call_units.py::test_find_positions_matches_reference.
+
+Semantics preserved exactly, including the asymmetry that the left window
+EXCLUDES ``pos`` while the right window INCLUDES it, and that the walk
+re-checks gene/containment at every row (so the one-step-left quirk of
+``Find_exon`` self-corrects).
 """
 
 from __future__ import annotations
@@ -17,77 +25,47 @@ from typing import List, Tuple
 from anchored_fusion_tpu.annotate.exon_index import ExonIndex
 
 
+def _half_window(dic: list, gene_name: str, exon0: int, pos0: int,
+                 budget: int, step: int) -> List[Tuple[int, int]]:
+    """Collect ``budget`` exonic bases walking rows by ``step`` (+-1).
+
+    ``pos0`` is the first base to take (1-based, inclusive).  Intervals come
+    out in walk order as 0-based half-open (start, end); leftward walks
+    therefore produce them right-to-left (the caller reverses).
+    """
+    out: List[Tuple[int, int]] = []
+    i, p, n = exon0, pos0, len(dic)
+    while budget > 0 and 0 <= i < n:
+        s1, e1, _, name = dic[i][0], dic[i][1], dic[i][2], dic[i][3]
+        if name != gene_name or not (s1 <= p <= e1):
+            # other gene's row, or p already walked off this exon: hop on
+            i += step
+            if not (0 <= i < n):
+                break
+            p = dic[i][1] if step < 0 else dic[i][0]
+            continue
+        avail = (p - s1 + 1) if step < 0 else (e1 - p + 1)
+        if avail >= budget:
+            out.append((p - budget, p) if step < 0 else (p - 1, p + budget - 1))
+            break
+        budget -= avail
+        out.append((s1 - 1, p) if step < 0 else (p - 1, e1))
+        i += step
+        if not (0 <= i < n):
+            break
+        p = dic[i][1] if step < 0 else dic[i][0]
+    return out
+
+
 def find_positions(index: ExonIndex, chrom: str, pos: int, length: int) -> List[Tuple]:
+    """Spliced ±``length`` bp exonic windows around ``pos`` (1-based)."""
     gene, exon_num = index.find_exon(chrom, pos, pos)
-    poses: List[Tuple] = []
-    forward_length = length
-    backward_length = length
     if gene[0] == "":
-        return poses
+        return []
     dic = index.dic[chrom]
-    n = len(dic)
-
-    exon_num_now = exon_num
-    pos_now = pos - 1
-    while forward_length > 0:
-        if (
-            dic[exon_num_now][3] != gene[1]
-            or dic[exon_num_now][0] > pos_now
-            or dic[exon_num_now][1] + 1 <= pos_now
-        ):
-            exon_num_now -= 1
-            if exon_num_now < 0 or exon_num_now >= n:
-                break
-            pos_now = dic[exon_num_now][1]
-            continue
-        l = pos_now - dic[exon_num_now][0] + 1
-        if l >= forward_length:
-            poses = [(pos_now - forward_length, pos_now)] + poses
-            forward_length -= l
-        elif l != 0:
-            forward_length -= l
-            poses = [(dic[exon_num_now][0] - 1, pos_now)] + poses
-            exon_num_now -= 1
-            if exon_num_now < 0:
-                break
-            pos_now = dic[exon_num_now][1]
-        else:
-            exon_num_now -= 1
-            if exon_num_now < 0:
-                break
-            pos_now = dic[exon_num_now][1]
-
-    exon_num_now = exon_num
-    pos_now = pos
-    poses.append(("H", ""))
-    while backward_length > 0:
-        if (
-            dic[exon_num_now][3] != gene[1]
-            or dic[exon_num_now][0] > pos_now
-            or dic[exon_num_now][1] + 1 <= pos_now
-        ):
-            exon_num_now += 1
-            if exon_num_now < 0 or exon_num_now >= n:
-                break
-            pos_now = dic[exon_num_now][0]
-            continue
-        l = dic[exon_num_now][1] + 1 - pos_now
-        if l >= backward_length:
-            poses.append((pos_now - 1, pos_now + backward_length - 1))
-            backward_length = 0
-        elif l != 0:
-            backward_length -= l
-            poses.append((pos_now - 1, dic[exon_num_now][1]))
-            exon_num_now += 1
-            if exon_num_now >= n:
-                break
-            pos_now = dic[exon_num_now][0]
-        else:
-            exon_num_now += 1
-            if exon_num_now >= n:
-                break
-            pos_now = dic[exon_num_now][0]
-    return poses
+    left = _half_window(dic, gene[1], exon_num, pos - 1, length, -1)
+    right = _half_window(dic, gene[1], exon_num, pos, length, +1)
+    return left[::-1] + [("H", "")] + right
 
 
 def window_sequence(reference, index: ExonIndex, chrom: str, pos: int, length: int,

@@ -95,27 +95,24 @@ def extract_split_reads(
     position-major there too.
     """
     cfg = cfg or CallConfig()
+    kinds = np.asarray(kinds)
+    read_lengths = np.asarray(read_lengths)
+    # vectorized candidate selection: clip length / breakpoint / boundary are
+    # computed for the whole batch; only surviving split reads are decoded
+    is_sm = kinds == 2
+    is_ms = kinds == 3
+    clip = np.where(is_sm, read_starts,
+                    read_lengths - 1 - np.asarray(read_ends))
+    keep = (is_sm | is_ms) & (clip >= cfg.min_clip_len)
+    bp_all = np.where(is_sm, np.asarray(ref_starts), np.asarray(ref_ends)) + 1
+    boundary_all = np.where(is_sm, np.asarray(read_starts),
+                            np.asarray(read_ends) + 1)
     out: List[SplitRead] = []
-    for i in range(len(names)):
-        kind = kinds[i]
-        if kind == 2:  # SM
-            clip = int(read_starts[i])
-            if clip < cfg.min_clip_len:
-                continue
-            bp = int(ref_starts[i]) + 1
-            boundary = clip
-            type_ = "SM"
-        elif kind == 3:  # MS
-            clip = int(read_lengths[i]) - 1 - int(read_ends[i])
-            if clip < cfg.min_clip_len:
-                continue
-            bp = int(ref_ends[i]) + 1
-            boundary = int(read_ends[i]) + 1
-            type_ = "MS"
-        else:
-            continue
+    for i in np.nonzero(keep)[0]:
+        boundary = int(boundary_all[i])
         seq = decode_to_str(oriented_seqs[i, : int(read_lengths[i])])
-        out.append(SplitRead(names[i], anchor_name, bp, type_,
+        out.append(SplitRead(names[i], anchor_name, int(bp_all[i]),
+                             "SM" if is_sm[i] else "MS",
                              seq[:boundary], seq[boundary:]))
     out.sort(key=lambda s: (s.breakpoint, s.name))
     return out
@@ -152,13 +149,8 @@ def cluster_split_reads(split_reads: List[SplitRead]) -> List[Tuple[int, List[Sp
 def oriented_sequences(seqs: np.ndarray, strands: np.ndarray) -> np.ndarray:
     """Apply per-read strand to raw read codes (SAM SEQ convention).
 
-    Reverse-complemented rows are rolled so position 0 is the first real base
-    (plain revcomp of a padded row would put the PAD run in front).
+    Batched arithmetic gather — see align.aligner.orient_reads (the per-row
+    roll this replaces was the calling path's host hot loop).
     """
-    R = seqs.shape[1]
-    lens = (seqs != 5).sum(axis=1)
-    rc = revcomp(seqs)
-    out = seqs.copy()
-    for i in np.nonzero(strands == 1)[0]:
-        out[i] = np.roll(rc[i], int(lens[i]) - R)
-    return out
+    from anchored_fusion_tpu.align.aligner import orient_reads
+    return orient_reads(seqs, strands)

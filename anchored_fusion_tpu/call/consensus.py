@@ -19,6 +19,7 @@ are preserved exactly so consensus sequences are bit-compatible:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Tuple
 
 import numpy as np
@@ -123,34 +124,122 @@ def _similar_shifted(l1: str, r1: str, l2: str, r2: str,
     return same / n > threshold
 
 
+def pack_flanks(seq_left: str, seq_right: str) -> np.ndarray:
+    """One flank pair -> a (400,) row in consensus code space (-1 = no vote).
+
+    Left flank right-aligned ending at MID, right flank starting at MID —
+    exactly the placement ConsensusPWM.add performs with index=0.
+    """
+    row = np.full(WIDTH, -1, np.int8)
+    ln = min(len(seq_left), MID)
+    for o, c in enumerate(seq_left[len(seq_left) - ln:]):
+        row[MID - ln + o] = _CODE.get(c, -1)
+    rn = min(len(seq_right), WIDTH - MID)
+    for o, c in enumerate(seq_right[:rn]):
+        row[MID + o] = _CODE.get(c, -1)
+    return row
+
+
+def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
+                     group_ids: np.ndarray, n_groups: int,
+                     mesh=None) -> np.ndarray:
+    """Batched PWM vote accumulation on device: the consensus inputs.
+
+    ``rows`` (M, 400) consensus-code flanks, ``weights`` (M,) read counts,
+    ``group_ids`` (M,) target PWM per row.  One one-hot expansion + weighted
+    segment-sum -> (n_groups, 400, 4) int32 vote tensors — the fixed-shape
+    evidence unit of SURVEY §2.3 item 3.  Shapes are bucket-padded so
+    repeated calls reuse one compiled program.
+
+    With ``mesh``, the row axis is sharded over the mesh's dp axis and the
+    output replicated: each shard votes over its local rows and XLA inserts
+    the cross-shard all-reduce (the production form of
+    ``parallel.collectives.psum_pwm_votes``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    M = len(rows)
+    Mp = max(64, -(-M // 64) * 64)
+    Gp = max(8, -(-n_groups // 8) * 8)
+    rp = np.full((Mp, WIDTH), -1, np.int8)
+    rp[:M] = rows
+    wp = np.zeros(Mp, np.int32)
+    wp[:M] = weights
+    gp = np.full(Mp, Gp - 1, np.int32)  # padding rows vote 0 into the last slot
+    gp[:M] = group_ids
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _votes(r, w, gid, g):
+        oh = (r[..., None] == jnp.arange(4, dtype=r.dtype)).astype(jnp.int32)
+        oh = oh * w[:, None, None]
+        return jax.ops.segment_sum(oh, gid, num_segments=g)
+
+    args = (rp, wp, gp)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = mesh.axis_names[0]
+        row_sh = NamedSharding(mesh, P(dp))
+        args = tuple(jax.device_put(a, row_sh) for a in args)
+    # writable host copy: phase-2 shift merges keep np.add.at-ing into these
+    return np.array(_votes(*args, Gp))[:n_groups]
+
+
 def merge_clusters(groups: List[Tuple[int, List[SplitCluster]]],
-                   cfg: CallConfig | None = None) -> List[SplitCluster]:
-    """Merge raw per-breakpoint clusters into consensus split-read records."""
+                   cfg: CallConfig | None = None,
+                   mesh=None) -> List[SplitCluster]:
+    """Merge raw per-breakpoint clusters into consensus split-read records.
+
+    ``mesh`` dp-shards the vote accumulation (see pwm_votes_device); outputs
+    are bit-identical to the single-device path (integer adds commute).
+    """
     cfg = cfg or CallConfig()
     thr = cfg.merge_identity
     win = cfg.breakpoint_merge_window
 
-    # Phase 1: within-breakpoint greedy PWM absorption.
-    merged: List[Tuple[int, List[ConsensusPWM]]] = []
+    # Phase 1a: within-breakpoint greedy grouping (flank strings only; the
+    # membership decision never looks at accumulated votes, so grouping and
+    # vote accumulation separate cleanly).
+    plan: List[Tuple[int, List[SplitCluster]]] = []
     for bp, clusters in groups:
         pending = list(clusters)
-        out: List[ConsensusPWM] = []
         while pending:
             seed = pending.pop(0)
-            pwm = ConsensusPWM(seed.chrom, bp, seed.type_)
-            pwm.add(seed.seq_left, seed.seq_right, seed.cnt, seed.reads, 0)
+            members = [seed]
             i = 0
             while i < len(pending):
                 c = pending[i]
                 if c.type_ == seed.type_ and _similar_shifted(
                     seed.seq_left, seed.seq_right, c.seq_left, c.seq_right, thr, 0
                 ):
-                    pwm.add(c.seq_left, c.seq_right, c.cnt, c.reads, 0)
+                    members.append(c)
                     pending.pop(i)
                 else:
                     i += 1
-            out.append(pwm)
-        merged.append((bp, out))
+            plan.append((bp, members))
+
+    # Phase 1b: vote accumulation as ONE device segment-sum over all groups.
+    merged: List[Tuple[int, List[ConsensusPWM]]] = []
+    if plan:
+        rows = np.stack([pack_flanks(c.seq_left, c.seq_right)
+                         for _, members in plan for c in members])
+        weights = np.asarray([c.cnt for _, members in plan for c in members],
+                             np.int32)
+        gids = np.asarray([g for g, (_, members) in enumerate(plan)
+                           for _ in members], np.int32)
+        votes = pwm_votes_device(rows, weights, gids, len(plan), mesh=mesh)
+        by_bp: dict = {}
+        for g, (bp, members) in enumerate(plan):
+            seed = members[0]
+            pwm = ConsensusPWM(seed.chrom, bp, seed.type_, votes[g])
+            pwm.l_left = min(max(len(c.seq_left) for c in members), MID)
+            pwm.l_right = min(max(len(c.seq_right) for c in members),
+                              WIDTH - MID)
+            pwm.cnt = sum(c.cnt for c in members)
+            for c in members:
+                pwm.reads.extend(c.reads)
+            by_bp.setdefault(bp, []).append(pwm)
+        merged = sorted(by_bp.items())
 
     # Phase 2: cross-breakpoint shift-aware merge (window <= win bp).
     i = 0

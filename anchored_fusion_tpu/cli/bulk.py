@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from anchored_fusion_tpu.utils.debug import maybe_enable_from_env
+    maybe_enable_from_env()
     args = build_parser().parse_args(argv)
     log = StageLogger("bulk")
     gene_names = common.resolve_gene_names(args)
@@ -71,9 +73,18 @@ def main(argv=None) -> int:
             filt = common.setup_filter(args, pipe, index, all_seqs,
                                        gene_names, model_out)
 
+    from anchored_fusion_tpu.utils.debug import gene_guard
+    failures: list = []
     for gi, gene_name in enumerate(gene_names):
         out_name = gene_name + "_fusion"
         gene_dir = os.path.join(args.out_folder, out_name)
+        out_prefix = os.path.join(gene_dir, out_name)
+        if args.resume and os.path.exists(out_prefix + "_predictions.txt"):
+            # job-level resume: completed genes are skipped (the reference's
+            # file-existence memoization, Anchored_Fusion.py:181-203, applied
+            # at the whole-gene level)
+            print(f"[bulk] {gene_name}: resume hit, skipped")
+            continue
         os.makedirs(os.path.join(gene_dir, "work_dir"), exist_ok=True)
         os.makedirs(os.path.join(gene_dir, "model_dir"), exist_ok=True)
         anchor_codes = encode_ascii(anchor_seqs.get(gi, ""))
@@ -82,18 +93,23 @@ def main(argv=None) -> int:
             continue
         score_fn = common.make_score_fn(filt, decode_to_str(anchor_codes),
                                         genome, index)
-        with log.stage(f"call:{gene_name}"):
-            result = pipe.call_gene(
-                gene_name, anchor_codes, reads,
-                out_prefix=os.path.join(gene_dir, out_name),
-                score_fn=score_fn)
+        with log.stage(f"call:{gene_name}", items=reads.n_pairs * 2):
+            with gene_guard(gene_name, failures, retries=args.gene_retries) as g:
+                g.run(lambda: pipe.call_gene(
+                    gene_name, anchor_codes, reads,
+                    out_prefix=out_prefix, score_fn=score_fn))
+            result = g.result
+        if result is None:
+            continue
         log.set(**{f"{gene_name}.{k}": v for k, v in result.counters.items()})
         for row in result.rows:
             print(f"{row['fusion']}\t{row['anchor_breakpoint']}\t"
                   f"{row['partner_chrom']}:{row['partner_breakpoint']}\t"
                   f"spanning={row['spanning']}\tsplit={row['split']}")
+    if failures:
+        log.set(failures=failures)
     log.dump(os.path.join(args.out_folder, "run_stats.json"))
-    return 0
+    return 2 if failures and len(failures) == len(gene_names) else 0
 
 
 if __name__ == "__main__":

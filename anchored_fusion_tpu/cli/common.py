@@ -45,6 +45,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="Accepted for compatibility; accelerator selection is "
                         "JAX-level")
     p.add_argument("--read_batch", type=int, default=8192)
+    p.add_argument("--resume", action="store_true",
+                   help="Skip genes whose predictions file already exists")
+    p.add_argument("--gene_retries", type=int, default=1,
+                   help="Retries per gene on transient failures before the "
+                        "gene is recorded as failed and the run continues")
 
 
 def resolve_gene_names(args) -> List[str]:

@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from anchored_fusion_tpu.utils.debug import maybe_enable_from_env
+    maybe_enable_from_env()
     args = build_parser().parse_args(argv)
     log = StageLogger("singlecell")
     gene_names = common.resolve_gene_names(args)
@@ -110,16 +112,26 @@ def main(argv=None) -> int:
                                         genome, index)
         homo_cache = None
         per_cell_rows: Dict[str, List[dict]] = {}
+        from anchored_fusion_tpu.utils.debug import gene_guard
+        failures: List[dict] = []
         for cell, rb in cell_reads.items():
             cell_dir = os.path.join(work_dir, cell)
             os.makedirs(cell_dir, exist_ok=True)
-            with log.stage(f"call:{gene_name}:{cell}"):
-                result = pipe.call_gene(
-                    gene_name, anchor_codes, rb,
-                    out_prefix=os.path.join(cell_dir, out_name),
-                    score_fn=score_fn, homo_genes=homo_cache)
-            homo_cache = result.homo_genes
-            per_cell_rows[cell] = result.rows
+            # per-cell failure isolation: one bad cell must not sink the
+            # cohort (the reference's serial loop dies on the first error)
+            with log.stage(f"call:{gene_name}:{cell}", items=rb.n_pairs * 2):
+                with gene_guard(f"{gene_name}:{cell}", failures,
+                                retries=args.gene_retries) as g:
+                    g.run(lambda: pipe.call_gene(
+                        gene_name, anchor_codes, rb,
+                        out_prefix=os.path.join(cell_dir, out_name),
+                        score_fn=score_fn, homo_genes=homo_cache))
+            if g.result is None:
+                continue
+            homo_cache = g.result.homo_genes
+            per_cell_rows[cell] = g.result.rows
+        if failures:
+            log.set(**{f"failures.{gene_name}": failures})
 
         # cross-cell aggregation (Anchored_Fusion_singlecell.py:258-288)
         agg_path = os.path.join(gene_dir, out_name + "_gene_cell_predictions_abridged.txt")

@@ -46,6 +46,12 @@ class AlignConfig:
     seed_stride: int = 1
     # k-mer size for genome-scale seeding.
     genome_kmer: int = 13
+    # Gapped (affine SW) refinement post-pass on both production aligners:
+    # bridges indels the ungapped Kadane extension splits, recovering
+    # bwa-parity soft-clip boundaries (functions.py:669-683 relies on bwa
+    # emitting I/D ops).  The suspicious-minority selection keeps the pass
+    # off the hot path.
+    gapped_refine: bool = True
     # Max seed hits per k-mer kept (repeat masking, ~bwa -c / blat repMatch).
     # The seed-hit gather is the genome stage's HBM-bound hot loop: its cost
     # is linear in this cap (H=16 is 3.2x faster than H=64 end-to-end), and

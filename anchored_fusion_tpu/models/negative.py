@@ -63,9 +63,18 @@ def mine_negative_junctions(
     targets = {g.upper() for g in gene_names}
     hits = genome_aligner.align_multi(seqs, min_score=20, min_seg_len=20,
                                       top_k=4)
-    by_read: Dict[int, List[int]] = {}
-    for h in range(len(hits.read_id)):
-        by_read.setdefault(int(hits.read_id[h]), []).append(h)
+    # hit->read grouping and top-2 selection fully vectorized: a real sample
+    # produces millions of multi-hits (the reference mines SA:Z tags from a
+    # whole-genome bwa pass, functions.py:1438-1441) and a python dict sweep
+    # over them was the mining stage's scale ceiling
+    rid_arr = np.asarray(hits.read_id)
+    order = np.lexsort((-np.asarray(hits.score), rid_arr))
+    rid_sorted = rid_arr[order]
+    uniq_rids, first = np.unique(rid_sorted, return_index=True)
+    counts = np.diff(np.append(first, len(rid_sorted)))
+    multi = counts >= 2
+    top1 = order[first[multi]]
+    top2 = order[first[multi] + 1]
     read_lens = (np.asarray(seqs) != 5).sum(axis=1)
 
     rows: List[str] = []
@@ -74,12 +83,10 @@ def mine_negative_junctions(
     y_last: List[str] = []
     lengths: Dict[int, int] = {}
     picked: List[Tuple] = []
-    for rid, hs in sorted(by_read.items()):
-        if len(hs) < 2:
-            continue
+    for rid, X, Y in zip(uniq_rids[multi], top1, top2):
+        rid = int(rid)
         L = int(read_lens[rid])
-        hs = sorted(hs, key=lambda h: -int(hits.score[h]))
-        X, Y = hs[0], hs[1]
+        X, Y = int(X), int(Y)
         # forward-frame query intervals
         xs, xe = int(hits.q_start[X]), int(hits.q_end[X]) + 1
         ys, ye = int(hits.q_start[Y]), int(hits.q_end[Y]) + 1
@@ -156,13 +163,9 @@ def mine_negative_junctions(
     modal = max(lengths, key=lengths.get) if lengths else 101
     min_match = int(modal * 0.8)
     min_ident = NEGATIVE_LINEARITY_PRESET.min_identity
-    bad: Set[int] = set()
-    for rid, hs in by_read.items():
-        for h in hs:
-            if (int(hits.matches[h]) >= min_match
-                    and int(hits.matches[h]) >= min_ident * int(hits.length[h])):
-                bad.add(rid)
-                break
+    m_arr = np.asarray(hits.matches)
+    linear = (m_arr >= min_match) & (m_arr >= min_ident * np.asarray(hits.length))
+    bad: Set[int] = set(np.unique(rid_arr[linear]).tolist())
     for rid, g1, g2 in picked:
         if rid in bad:
             continue

@@ -212,7 +212,7 @@ class ShardedGenomeAligner:
         length = cat["length"]
         matches = cat["matches"]
         mapped = (cat["score"] >= min_score) & (length >= min_seg_len)
-        return AlignmentResult(
+        res = AlignmentResult(
             score=cat["score"].astype(np.int32),
             strand=cat["strand"].astype(np.int8),
             read_start=cat["read_start"].astype(np.int32),
@@ -224,6 +224,14 @@ class ShardedGenomeAligner:
             second_score=cat["second_score"].astype(np.int32),
             mapped=mapped,
         )
+        if getattr(cfg, "gapped_refine", False):
+            # same post-pass as GenomeAligner.align: the refinement windows
+            # are host gathers from the full genome, so the sharded and
+            # single-index paths stay bit-identical
+            from anchored_fusion_tpu.align.refine import refine_result
+            res = refine_result(res, seqs[:B0], self.reference.seq, cfg,
+                                min_score, 0.0, min_seg_len)
+        return res
 
     def align_multi(self, seqs: np.ndarray, min_score: int = 20,
                     min_identity: float = 0.0, min_seg_len: int = 10,

@@ -101,6 +101,14 @@ class FusionPipeline:
         ccfg = cfg.call
         counters: Dict[str, float] = {}
         t0 = time.time()
+        _last = [t0]
+
+        def _mark(stage: str):
+            # per-stage wall time (SURVEY §5 tracing: the e2e reads/s number
+            # is host-stage-dominated; these counters say where)
+            now = time.time()
+            counters[f"time.{stage}_s"] = round(now - _last[0], 4)
+            _last[0] = now
 
         n = reads.n_pairs
         R = reads.max_len
@@ -114,6 +122,7 @@ class FusionPipeline:
         kind, lclip, rclip = classify_clips(res, lens)
         counters["reads"] = n * 2
         counters["anchor_mapped"] = int(res.mapped.sum())
+        _mark("anchor_align")
 
         # 2. half-mapped pairs -> genome (mate rescue; -f8/-f4 flag parity)
         m = res.mapped.reshape(n, 2)
@@ -125,16 +134,22 @@ class FusionPipeline:
             sel = np.stack([2 * half_ids, 2 * half_ids + 1], axis=1).reshape(-1)
             gres = self.genome_aligner.align(seqs[sel])
             trim = ccfg.spanning_trim
+            # vectorized global->(contig, 1-based) conversion for all mapped
+            # mates at once (one searchsorted instead of a per-hit to_local)
+            cid = np.searchsorted(self.genome.starts, gres.ref_start,
+                                  side="right") - 1
+            s1 = (gres.ref_start - self.genome.starts[cid] + 1).astype(np.int64)
+            e1 = s1 + (gres.ref_end - gres.ref_start)
+            mapped = np.asarray(gres.mapped)
             for i, pid in enumerate(half_ids):
-                poses = []
-                for mate in range(2):
-                    j = 2 * i + mate
-                    if not gres.mapped[j]:
-                        continue
-                    chrom, s1 = self.genome.to_local(int(gres.ref_start[j]))
-                    e1 = s1 + int(gres.ref_end[j] - gres.ref_start[j])
-                    poses.append((chrom, s1 + trim, e1 - trim))
+                poses = [
+                    (self.genome.names[int(cid[j])], int(s1[j]) + trim,
+                     int(e1[j]) - trim)
+                    for j in (2 * i, 2 * i + 1) if mapped[j]
+                ]
                 pair_hits.append((reads.names[pid], poses))
+
+        _mark("mate_rescue")
 
         # 3. homolog mask (stage-cached: the reference persists the
         # equivalent _homo_genes.bed per gene, Anchored_Fusion.py:196-197)
@@ -146,6 +161,7 @@ class FusionPipeline:
                 lambda: find_homolog_genes(self.genome_aligner, anchor_codes,
                                            self.gene_rows, self.genome))
         counters["homo_genes"] = len(homo_genes)
+        _mark("homolog")
 
         # 4. clipped anchored reads -> genome multi-hits; rescue filter
         clipped = np.nonzero((kind == 2) | (kind == 3))[0]
@@ -162,6 +178,7 @@ class FusionPipeline:
             keep = rescue_filter(len(clipped), m_start, m_len, lens[clipped],
                                  ghits, ccfg)
         counters["clipped_kept"] = int(keep.sum())
+        _mark("rescue")
         survivors = clipped[keep]
         surv_set = {int(x): si for si, x in enumerate(survivors)}
 
@@ -195,6 +212,7 @@ class FusionPipeline:
                                           self.exon_index, homo_genes,
                                           blocks_chr, ccfg)
         counters["blocks"] = sum(len(b) for b in blocks_chr.values())
+        _mark("blocks")
 
         # 6. breakpoint clustering + consensus (rescue survivors only)
         surv_mask = np.zeros(n * 2, bool)
@@ -204,8 +222,10 @@ class FusionPipeline:
                                   res.read_end, res.ref_start, res.ref_end,
                                   gene_name, ccfg)
         counters["split_reads"] = len(srs)
-        clusters = merge_clusters(cluster_split_reads(srs), ccfg)
+        clusters = merge_clusters(cluster_split_reads(srs), ccfg,
+                                  mesh=self.mesh)
         counters["breakpoint_clusters"] = len(clusters)
+        _mark("consensus")
 
         # 7. candidate regions + anchored-split validation
         regions = build_candidate_regions(blocks_chr, self.genome,
@@ -214,11 +234,13 @@ class FusionPipeline:
         good = find_anchored_split(regions, clusters, self.exon_index,
                                    anchor_codes, ccfg)
         counters["good_breakpoints"] = len(good)
+        _mark("anchored_split")
 
         # 8. candidate join + junction linearity
         candidates, cnt_max = find_candidate_genes(
             regions, good, clusters, self.genome_aligner, ccfg)
         counters["candidates"] = len(candidates)
+        _mark("candidate_join")
 
         # 9. optional filter scoring
         filter_on = cfg.filter_false_positive and score_fn is not None
@@ -235,6 +257,7 @@ class FusionPipeline:
                                       self.exon_index, score_list, cnt_max,
                                       filter_on, ccfg)
         counters["emitted"] = len(rows)
+        _mark("report")
         counters["wall_s"] = time.time() - t0
         return GeneCallResult(rows, candidates, clusters, blocks_chr,
                               homo_genes, counters)

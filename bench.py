@@ -1,12 +1,19 @@
-"""Benchmark: anchored-alignment throughput on the bundled sample.
+"""Benchmark: anchored-alignment + full-pipeline throughput on the bundled sample.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N,
+   "pipeline_reads_per_s": N, "pipeline_wall_s": N}
 
-Metric: warm steady-state reads/s of the anchored-alignment stage (the hot
-stage of the reference pipeline: bwa mem of every read against the anchored
-transcript, Anchored_Fusion.py:182) over the bundled 22,516-read sample on
-the available accelerator.
+Primary metric: warm steady-state reads/s of the anchored-alignment stage
+(the hot stage of the reference pipeline: bwa mem of every read against the
+anchored transcript, Anchored_Fusion.py:182) over the bundled 22,516-read
+sample on the available accelerator.
+
+Secondary fields: END-TO-END reads/s of all ten pipeline stages
+(FusionPipeline.call_gene on the bundled reads against the surrogate genome
+reconstructed from the sample itself, bench/surrogate.py) — this measures
+the product, host stages included, and parity-checks the emitted
+BCR--ABL1 @ 3235 row.
 
 Baseline: the reference's anchored stage is `bwa mem -t1` against a 6.8kb
 transcript index piped through samtools (view+sort).  bwa itself on such a
@@ -62,11 +69,36 @@ def main():
         _ = [np.asarray(o) for o in outs]
         dt = time.time() - t0
         best = max(best, n * DEPTH / dt)
+
+    # ---- full ten-stage pipeline on the bundled sample (surrogate genome) --
+    import tempfile
+    from anchored_fusion_tpu.annotate.exon_index import ExonIndex
+    from anchored_fusion_tpu.bench.surrogate import build_surrogate_genome, \
+        reconstruct_transcripts
+    from anchored_fusion_tpu.config import PipelineConfig
+    from anchored_fusion_tpu.pipeline import FusionPipeline
+
+    sg = build_surrogate_genome(anchor.seq, reconstruct_transcripts(rb))
+    index = ExonIndex(sg.gtf_dic, inject_loci=False)
+    pipe = FusionPipeline(sg.genome, index, sg.gene_rows(),
+                          PipelineConfig(filter_false_positive=False))
+    with tempfile.TemporaryDirectory() as td:
+        r0 = pipe.call_gene("BCR", anchor.seq, rb, out_prefix=td + "/w")  # warm
+        t0 = time.time()
+        r1 = pipe.call_gene("BCR", anchor.seq, rb, out_prefix=td + "/b")
+        pipe_dt = time.time() - t0
+    rows = {r["fusion"]: r for r in r1.rows}
+    assert "BCR--ABL1" in rows and rows["BCR--ABL1"]["anchor_breakpoint"] == 3235, \
+        f"pipeline parity check failed: {list(rows)}"
+    pipe_rps = r1.counters["reads"] / pipe_dt
+
     print(json.dumps({
         "metric": "anchored_alignment_throughput",
         "value": round(best, 1),
         "unit": "reads/s",
         "vs_baseline": round(best / BASELINE_READS_PER_S, 2),
+        "pipeline_reads_per_s": round(pipe_rps, 1),
+        "pipeline_wall_s": round(pipe_dt, 2),
     }))
 
 

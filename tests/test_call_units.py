@@ -136,3 +136,39 @@ def test_rescue_filter_full_length_and_straddle():
     # all three reads are MS with anchor M covering [0, 60]
     keep = rescue_filter(3, [0, 0, 0], [61, 61, 61], [101, 101, 101], hits)
     assert list(keep) == [False, False, True]
+
+
+def test_find_positions_matches_reference(sg, index):
+    """Golden parity: our re-derived exon walk vs the reference's own
+    find_positions (functions.py:1331-1391), run in-process over the same
+    exon table, swept across positions and window lengths."""
+    import importlib.util
+    import sys
+    import types
+    if "Bio" not in sys.modules:
+        # biopython is absent here; the reference only builds a
+        # PairwiseAligner it never calls (functions.py:772-776), so a
+        # namespace stub suffices to import the module.
+        bio = types.ModuleType("Bio")
+        align = types.ModuleType("Bio.Align")
+        align.PairwiseAligner = lambda *a, **k: types.SimpleNamespace()
+        bio.Align = align
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.Align"] = align
+    spec = importlib.util.spec_from_file_location(
+        "ref_functions", "/root/reference/functions.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    gc = ref.Gene_co()
+    gc.dic = {c: [list(row) for row in rows] for c, rows in index.dic.items()}
+
+    positions = []
+    for g in sg.genes.values():
+        for s, e in g.exons:
+            positions += [s, s + 1, (s + e) // 2, e - 1, e, e + 5]  # edges + intron
+    for pos in positions:
+        for length in (1, 13, 100, 250, 10_000):
+            ours = [tuple(p) for p in find_positions(index, "chr1", pos, length)]
+            theirs = [tuple(p) for p in ref.find_positions(gc, "chr1", pos, length)]
+            assert ours == theirs, (pos, length, ours, theirs)

@@ -121,8 +121,9 @@ def test_pipeline_mesh_matches_single_device(synth, tmp_path):
     assert r2.rows == r1.rows
     assert r2.homo_genes == r1.homo_genes
     for k in r1.counters:
-        if k != "wall_s":
-            assert r2.counters[k] == r1.counters[k], (k, r1.counters, r2.counters)
+        if k == "wall_s" or k.startswith("time."):
+            continue  # wall-clock counters differ by definition
+        assert r2.counters[k] == r1.counters[k], (k, r1.counters, r2.counters)
     assert [(c.breakpoint, c.type_, c.cnt) for c in r2.clusters] == \
            [(c.breakpoint, c.type_, c.cnt) for c in r1.clusters]
 

@@ -37,3 +37,38 @@ def test_stage_logger(tmp_path):
     import json
     d = json.loads(p.read_text())
     assert d["stats"]["x"] == 3 and "time.a_s" in d["stats"]
+
+
+def test_gene_guard_isolates_and_retries():
+    from anchored_fusion_tpu.utils.debug import gene_guard
+
+    failures = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return 42
+
+    with gene_guard("GENEA", failures, retries=1, retry_delay_s=0) as g:
+        out = g.run(flaky)
+    assert out == 42 and not failures and calls["n"] == 2
+
+    with gene_guard("GENEB", failures, retries=1, retry_delay_s=0) as g:
+        g.run(lambda: (_ for _ in ()).throw(ValueError("hard")))
+    assert g.failed and g.result is None
+    assert failures[0]["gene"] == "GENEB" and failures[0]["attempts"] == 2
+
+
+def test_stage_logger_throughput(tmp_path, capsys):
+    from anchored_fusion_tpu.utils.log import StageLogger
+
+    log = StageLogger("t")
+    with log.stage("align", items=1000):
+        pass
+    assert "rate.align_reads_per_s" in log.stats
+    log.dump(str(tmp_path / "s.json"))
+    import json
+    d = json.load(open(tmp_path / "s.json"))
+    assert d["run"] == "t" and "time.total_s" in d["stats"]
