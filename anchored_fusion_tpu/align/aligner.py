@@ -496,7 +496,11 @@ def align_to_reference(
     W, W2 = _seed_matrix_cached(ref_codes, R, stride, sharding=rep_sh)
     ref = (jnp.asarray(ref_codes, dtype=jnp.int8) if mesh is None
            else jax.device_put(np.asarray(ref_codes, np.int8), rep_sh))
-    outs = []
+    # dispatch ALL chunks first (jax dispatch is async — the next chunk's
+    # host->device transfer overlaps the previous chunk's compute), then
+    # collect: one device->host transfer per chunk of the stacked (9, B)
+    # result
+    pending = []
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
         n_real = sub.shape[0]
@@ -510,12 +514,11 @@ def align_to_reference(
                     [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
         if mesh is not None:
             sub = jax.device_put(sub, dp_sh)
-        # one host->device transfer (jit ingests the numpy batch) and one
-        # device->host transfer (the stacked (9, B) result)
-        stacked = np.asarray(_align_core_stacked(
+        pending.append((n_real, _align_core_stacked(
             sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
-            stride))
-        outs.append({n: v[:n_real] for n, v in unstack_result(stacked).items()})
+            stride)))
+    outs = [{n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
+            for n_real, st in pending]
     if not outs:
         z = lambda dt: np.zeros(0, dt)
         return AlignmentResult(z(np.int32), z(np.int8), z(np.int32), z(np.int32),

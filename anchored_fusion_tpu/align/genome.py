@@ -105,7 +105,7 @@ class GenomeAligner:
             seqs = seqs[None]
         B, R = seqs.shape
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
-        outs = []
+        pending = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
@@ -114,12 +114,15 @@ class GenomeAligner:
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            res = unstack_result(np.asarray(_genome_align_core(
+            # async dispatch: all chunks in flight before the first collect
+            pending.append((n_real, _genome_align_core(
                 sub, self.codes, self.index.table, self.index.keys_sorted,
                 self.index.pos_sorted, offsets, self.k, self.index.kb,
                 self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty)))
-            outs.append({n: v[:n_real] for n, v in res.items()})
+        outs = [{n: v[:n_real]
+                 for n, v in unstack_result(np.asarray(st)).items()}
+                for n_real, st in pending]
         cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
         length = cat["length"]
         matches = cat["matches"]
@@ -156,7 +159,7 @@ class GenomeAligner:
             seqs = seqs[None]
         B, R = seqs.shape
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
-        parts = []
+        pending = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
@@ -165,11 +168,15 @@ class GenomeAligner:
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            seg = unstack_multi(np.asarray(_genome_align_multi_core(
+            # async dispatch first; host-side flatten happens at collect time
+            pending.append((lo, n_real, sub, _genome_align_multi_core(
                 sub, self.codes, self.index.table, self.index.keys_sorted,
                 self.index.pos_sorted, offsets, self.k, self.index.kb,
                 self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty)))
+        parts = []
+        for lo, n_real, sub, st in pending:
+            seg = unstack_multi(np.asarray(st))
             read_lens = (sub != PAD).sum(axis=1).astype(np.int32)
             mh = _flatten_multi(seg, read_lens,
                                 sub.shape[0], top_k, min_score, min_identity,

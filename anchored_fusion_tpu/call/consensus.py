@@ -22,6 +22,8 @@ import dataclasses
 import functools
 from typing import List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from anchored_fusion_tpu.config import CallConfig
@@ -140,6 +142,15 @@ def pack_flanks(seq_left: str, seq_right: str) -> np.ndarray:
     return row
 
 
+@functools.partial(jax.jit, static_argnames=("g",))
+def _votes(r, w, gid, g):
+    # module-level jit: defining this inside pwm_votes_device would mint a
+    # fresh traced function (and a ~0.5s compile) on EVERY call
+    oh = (r[..., None] == jnp.arange(4, dtype=r.dtype)).astype(jnp.int32)
+    oh = oh * w[:, None, None]
+    return jax.ops.segment_sum(oh, gid, num_segments=g)
+
+
 def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
                      group_ids: np.ndarray, n_groups: int,
                      mesh=None) -> np.ndarray:
@@ -156,9 +167,6 @@ def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
     the cross-shard all-reduce (the production form of
     ``parallel.collectives.psum_pwm_votes``).
     """
-    import jax
-    import jax.numpy as jnp
-
     M = len(rows)
     Mp = max(64, -(-M // 64) * 64)
     Gp = max(8, -(-n_groups // 8) * 8)
@@ -169,12 +177,6 @@ def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
     gp = np.full(Mp, Gp - 1, np.int32)  # padding rows vote 0 into the last slot
     gp[:M] = group_ids
 
-    @functools.partial(jax.jit, static_argnames=("g",))
-    def _votes(r, w, gid, g):
-        oh = (r[..., None] == jnp.arange(4, dtype=r.dtype)).astype(jnp.int32)
-        oh = oh * w[:, None, None]
-        return jax.ops.segment_sum(oh, gid, num_segments=g)
-
     args = (rp, wp, gp)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -182,7 +184,7 @@ def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
         row_sh = NamedSharding(mesh, P(dp))
         args = tuple(jax.device_put(a, row_sh) for a in args)
     # writable host copy: phase-2 shift merges keep np.add.at-ing into these
-    return np.array(_votes(*args, Gp))[:n_groups]
+    return np.array(_votes(*args, g=Gp))[:n_groups]
 
 
 def merge_clusters(groups: List[Tuple[int, List[SplitCluster]]],

@@ -110,26 +110,21 @@ def main(argv=None) -> int:
             continue
         score_fn = common.make_score_fn(filt, decode_to_str(anchor_codes),
                                         genome, index)
-        homo_cache = None
         per_cell_rows: Dict[str, List[dict]] = {}
-        from anchored_fusion_tpu.utils.debug import gene_guard
         failures: List[dict] = []
-        for cell, rb in cell_reads.items():
-            cell_dir = os.path.join(work_dir, cell)
-            os.makedirs(cell_dir, exist_ok=True)
-            # per-cell failure isolation: one bad cell must not sink the
-            # cohort (the reference's serial loop dies on the first error)
-            with log.stage(f"call:{gene_name}:{cell}", items=rb.n_pairs * 2):
-                with gene_guard(f"{gene_name}:{cell}", failures,
-                                retries=args.gene_retries) as g:
-                    g.run(lambda: pipe.call_gene(
-                        gene_name, anchor_codes, rb,
-                        out_prefix=os.path.join(cell_dir, out_name),
-                        score_fn=score_fn, homo_genes=homo_cache))
-            if g.result is None:
-                continue
-            homo_cache = g.result.homo_genes
-            per_cell_rows[cell] = g.result.rows
+        for cell in cell_reads:
+            os.makedirs(os.path.join(work_dir, cell), exist_ok=True)
+        total = sum(rb.n_pairs * 2 for rb in cell_reads.values())
+        # ONE anchored-alignment batch over every cell (cells are a batch
+        # dimension, SURVEY §7.2 step 7 — the reference loops cells serially);
+        # per-cell host stages are failure-isolated so one bad cell cannot
+        # sink the cohort.
+        with log.stage(f"call:{gene_name}", items=total):
+            results = pipe.call_gene_cells(
+                gene_name, anchor_codes, cell_reads,
+                out_prefix_for=lambda c: os.path.join(work_dir, c, out_name),
+                score_fn=score_fn, failures=failures)
+        per_cell_rows = {cell: r.rows for cell, r in results.items()}
         if failures:
             log.set(**{f"failures.{gene_name}": failures})
 

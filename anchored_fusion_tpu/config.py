@@ -200,8 +200,11 @@ class PipelineConfig:
     call: CallConfig = dataclasses.field(default_factory=CallConfig)
     filter_model: FilterModelConfig = dataclasses.field(default_factory=FilterModelConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
-    # Batch of reads processed per device step.
-    read_batch: int = 2048
+    # Batch of reads processed per device step.  Each device dispatch costs
+    # ~22ms through the axon relay, so bigger batches win until the seeding
+    # matrix (B x (L+R)) presses on HBM; 8192 x a transcript-sized reference
+    # is ~113MB bf16.
+    read_batch: int = 8192
     # Run the DL false-positive filter (reference --not_filter_false_positive inverts).
     filter_false_positive: bool = True
     # Train the filter on input data (reference --not_train_filter_model inverts).

@@ -58,12 +58,16 @@ def best_segment(scores: jax.Array, is_match: jax.Array):
     newmin = Ps < prev_min
     idx = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), Ps.shape)
     argmin_prefix = jax.lax.cummax(jnp.where(newmin, idx, -1), axis=ax)
-    start = jnp.take_along_axis(argmin_prefix, end[..., None], axis=-1)[..., 0]
+    # point lookups as select+reduce, NOT take_along_axis: a lane-axis gather
+    # is the slow path on this TPU runtime (~20% of the whole extension);
+    # masking one lane and summing is a plain VPU reduce
+    at_end = idx == end[..., None]
+    start = jnp.sum(jnp.where(at_end, argmin_prefix, 0), axis=-1)
     # matches inside [start, end]
     Pm = jnp.cumsum(is_match, axis=-1)
     Pms = jnp.concatenate([jnp.zeros_like(Pm[..., :1]), Pm[..., :-1]], axis=-1)
-    m_end = jnp.take_along_axis(Pm, end[..., None], axis=-1)[..., 0]
-    m_start = jnp.take_along_axis(Pms, start[..., None], axis=-1)[..., 0]
+    m_end = jnp.sum(jnp.where(at_end, Pm, 0), axis=-1)
+    m_start = jnp.sum(jnp.where(idx == start[..., None], Pms, 0), axis=-1)
     length = jnp.maximum(end - start + 1, 0)
     return {
         "score": best,

@@ -97,11 +97,99 @@ class FusionPipeline:
         score_fn=None,
         homo_genes: Optional[List[str]] = None,
     ) -> GeneCallResult:
+        # 1. anchor alignment (dp-sharded over the mesh when present)
+        t0 = time.time()
+        seqs = reads.seq.reshape(reads.n_pairs * 2, reads.max_len)
+        res = align_to_reference(seqs, anchor_codes, self.cfg.align,
+                                 chunk=self.cfg.read_batch, mesh=self.mesh)
+        return self._call_stages(gene_name, anchor_codes, reads, res,
+                                 out_prefix, scores, score_fn, homo_genes,
+                                 t0=t0, align_s=time.time() - t0)
+
+    def call_gene_cells(
+        self,
+        gene_name: str,
+        anchor_codes: np.ndarray,
+        cell_reads,  # Dict[str, ReadBatch] (insertion-ordered)
+        out_prefix_for=None,   # cell -> out_prefix (or None)
+        score_fn=None,
+        failures: Optional[list] = None,
+    ) -> Dict[str, GeneCallResult]:
+        """Per-cell calling with the cells as ONE alignment batch.
+
+        The reference's single-cell driver aligns each cell serially
+        (Anchored_Fusion_singlecell.py:205); here every cell's reads join one
+        anchored-alignment batch (SURVEY §7.2 step 7: cells become a batch
+        dimension), so the device sees one large dp-shardable launch instead
+        of per-cell dispatches, and the per-cell host stages consume row
+        slices of the shared result.  The homolog mask is computed once and
+        reused (it only depends on the anchor + genome).  With ``failures``
+        (a list), a cell whose host stages raise is recorded and skipped
+        instead of sinking the cohort.
+        """
+        t0 = time.time()
+        cells = list(cell_reads.items())
+        R = max(rb.max_len for _, rb in cells)
+        parts = []
+        for _, rb in cells:
+            s = rb.seq.reshape(rb.n_pairs * 2, rb.max_len)
+            if rb.max_len < R:
+                s = np.concatenate(
+                    [s, np.full((s.shape[0], R - rb.max_len), 5, np.int8)],
+                    axis=1)
+            parts.append(s)
+        offs = np.cumsum([0] + [p.shape[0] for p in parts])
+        res_all = align_to_reference(np.concatenate(parts), anchor_codes,
+                                     self.cfg.align, chunk=self.cfg.read_batch,
+                                     mesh=self.mesh)
+        align_s = time.time() - t0
+        fields = ("score", "strand", "read_start", "read_end", "ref_start",
+                  "ref_end", "matches", "length", "second_score", "mapped")
+        out: Dict[str, GeneCallResult] = {}
+        homo = None
+        for i, (cell, rb) in enumerate(cells):
+            from anchored_fusion_tpu.align.aligner import AlignmentResult
+            sl = slice(offs[i], offs[i + 1])
+            res_c = AlignmentResult(**{f: getattr(res_all, f)[sl]
+                                       for f in fields})
+            prefix = out_prefix_for(cell) if out_prefix_for else None
+            try:
+                r = self._call_stages(
+                    gene_name, anchor_codes, rb, res_c, prefix, None,
+                    score_fn, homo, t0=time.time(),
+                    align_s=align_s * (offs[i + 1] - offs[i]) / offs[-1])
+            except Exception as e:  # noqa: BLE001 - per-cell isolation
+                if failures is None:
+                    raise
+                import traceback
+                failures.append({"gene": f"{gene_name}:{cell}",
+                                 "error": repr(e),
+                                 "traceback": traceback.format_exc(),
+                                 "attempts": 1})
+                continue
+            homo = r.homo_genes
+            out[cell] = r
+        return out
+
+    def _call_stages(
+        self,
+        gene_name: str,
+        anchor_codes: np.ndarray,
+        reads: ReadBatch,
+        res,
+        out_prefix: Optional[str] = None,
+        scores: Optional[Sequence[float]] = None,
+        score_fn=None,
+        homo_genes: Optional[List[str]] = None,
+        t0: Optional[float] = None,
+        align_s: float = 0.0,
+    ) -> GeneCallResult:
+        """Stages 2-10 given the anchored-alignment result ``res``."""
         cfg = self.cfg
         ccfg = cfg.call
         counters: Dict[str, float] = {}
-        t0 = time.time()
-        _last = [t0]
+        t0 = t0 or time.time()
+        _last = [time.time()]
 
         def _mark(stage: str):
             # per-stage wall time (SURVEY §5 tracing: the e2e reads/s number
@@ -116,13 +204,10 @@ class FusionPipeline:
         lens = reads.length.reshape(n * 2)
         names = [nm for nm in reads.names for _ in range(2)]
 
-        # 1. anchor alignment (dp-sharded over the mesh when present)
-        res = align_to_reference(seqs, anchor_codes, cfg.align,
-                                 chunk=cfg.read_batch, mesh=self.mesh)
         kind, lclip, rclip = classify_clips(res, lens)
         counters["reads"] = n * 2
         counters["anchor_mapped"] = int(res.mapped.sum())
-        _mark("anchor_align")
+        counters["time.anchor_align_s"] = round(align_s, 4)
 
         # 2. half-mapped pairs -> genome (mate rescue; -f8/-f4 flag parity)
         m = res.mapped.reshape(n, 2)

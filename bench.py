@@ -84,9 +84,11 @@ def main():
                           PipelineConfig(filter_false_positive=False))
     with tempfile.TemporaryDirectory() as td:
         r0 = pipe.call_gene("BCR", anchor.seq, rb, out_prefix=td + "/w")  # warm
-        t0 = time.time()
-        r1 = pipe.call_gene("BCR", anchor.seq, rb, out_prefix=td + "/b")
-        pipe_dt = time.time() - t0
+        pipe_dt = 1e9
+        for i in range(3):  # best-of-3: relay latency is noisy run to run
+            t0 = time.time()
+            r1 = pipe.call_gene("BCR", anchor.seq, rb, out_prefix=td + "/b")
+            pipe_dt = min(pipe_dt, time.time() - t0)
     rows = {r["fusion"]: r for r in r1.rows}
     assert "BCR--ABL1" in rows and rows["BCR--ABL1"]["anchor_breakpoint"] == 3235, \
         f"pipeline parity check failed: {list(rows)}"

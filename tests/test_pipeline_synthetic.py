@@ -142,3 +142,46 @@ def test_pipeline_no_fusion_on_wildtype_reads(synth, tmp_path):
     result = pipe.call_gene(anchor.name, encode_ascii(tx_a), reads,
                             out_prefix=str(tmp_path / "wt"))
     assert result.rows == []
+
+
+def test_call_gene_cells_matches_serial(synth, tmp_path):
+    """Cells as ONE alignment batch (SURVEY §7.2 step 7): per-cell results of
+    call_gene_cells must equal serial per-cell call_gene runs."""
+    rng, sg, anchor, partner, decoy = synth
+    tx_a = anchor.transcript(sg.genome)
+    from anchored_fusion_tpu.bench.simulate import fuse_transcripts, simulate_pairs
+    break5 = sum(e - s + 1 for s, e in anchor.exons[:2]) - 100
+    fusion = fuse_transcripts(tx_a, partner.transcript(sg.genome), break5, 60)
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        names, r1, r2 = simulate_pairs(r, fusion, n, name_prefix=f"C{seed}")
+        seq = np.stack([
+            np.stack([encode_ascii(x, length=128), encode_ascii(y, length=128)])
+            for x, y in zip(r1, r2)])
+        return ReadBatch(names, seq, np.full((len(names), 2), 101, np.int32))
+
+    cells = {"cellA": mk(60, 1), "cellB": mk(60, 2), "cellC": mk(40, 3)}
+    index = ExonIndex(sg.gtf_dic, inject_loci=False)
+    pipe = FusionPipeline(sg.genome, index, sg.gene_rows(),
+                          PipelineConfig(filter_false_positive=False))
+    anchor_codes = encode_ascii(tx_a)
+    batched = pipe.call_gene_cells(
+        anchor.name, anchor_codes, cells,
+        out_prefix_for=lambda c: str(tmp_path / f"b_{c}"))
+    homo = None
+    for cell, rb in cells.items():
+        serial = pipe.call_gene(anchor.name, anchor_codes, rb,
+                                out_prefix=str(tmp_path / f"s_{cell}"),
+                                homo_genes=homo)
+        homo = serial.homo_genes
+        assert batched[cell].rows == serial.rows, cell
+        assert batched[cell].homo_genes == serial.homo_genes
+    # failure isolation: an unalignable-junk cell records, others survive
+    bad = ReadBatch(["x"], np.full((1, 2, 128), 4, np.int8),
+                    np.full((1, 2), 101, np.int32))
+    fails = []
+    res = pipe.call_gene_cells(anchor.name, anchor_codes,
+                               {"good": cells["cellA"], "bad": bad},
+                               out_prefix_for=None, failures=fails)
+    assert "good" in res
