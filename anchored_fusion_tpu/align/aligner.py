@@ -306,6 +306,20 @@ def _align_core_stacked(reads, ref, seed_matrix, win_matrix,
                                     k, match, mismatch, stride))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "match", "mismatch",
+                                             "stride", "R"))
+def _align_core_stacked_packed(packed, ref, seed_matrix, win_matrix,
+                               k: int, match: int, mismatch: int,
+                               stride: int, R: int):
+    """Nibble-packed entry: the read batch crosses the host->device relay at
+    two codes per byte (the transfer IS the aligner's dominant cost here) and
+    unpacks on device in one shift/mask."""
+    from anchored_fusion_tpu.ops.encode import unpack_nibbles
+    reads = unpack_nibbles(packed, R)
+    return stack_result(_align_core(reads, ref, seed_matrix, win_matrix,
+                                    k, match, mismatch, stride))
+
+
 @dataclasses.dataclass
 class MultiHits:
     """Flat multi-hit records (BLAT-PSL-like), host-side numpy.
@@ -512,11 +526,20 @@ def align_to_reference(
             if target != n_real:
                 sub = np.concatenate(
                     [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-        if mesh is not None:
-            sub = jax.device_put(sub, dp_sh)
-        pending.append((n_real, _align_core_stacked(
-            sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
-            stride)))
+        if R % 2 == 0:
+            from anchored_fusion_tpu.ops.encode import pack_nibbles
+            packed = pack_nibbles(sub)
+            if mesh is not None:
+                packed = jax.device_put(packed, dp_sh)
+            pending.append((n_real, _align_core_stacked_packed(
+                packed, ref, W, W2, top_k, cfg.match_score,
+                cfg.mismatch_penalty, stride, R)))
+        else:  # odd widths keep the raw-byte path (coords depend on R)
+            if mesh is not None:
+                sub = jax.device_put(sub, dp_sh)
+            pending.append((n_real, _align_core_stacked(
+                sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
+                stride)))
     outs = [{n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
             for n_real, st in pending]
     if not outs:

@@ -51,11 +51,13 @@ def _seed_diagonals(flat, table, index_keys, index_pos, offsets,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch"))
-def _genome_align_core(reads, ref, table, index_keys, index_pos, offsets,
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch", "R"))
+def _genome_align_core(packed, ref, table, index_keys, index_pos, offsets,
                        k: int, kb: int, stride: int, max_hits: int,
-                       top_k: int, match: int, mismatch: int):
-    B, R = reads.shape
+                       top_k: int, match: int, mismatch: int, R: int):
+    from anchored_fusion_tpu.ops.encode import unpack_nibbles
+    reads = unpack_nibbles(packed, R)  # nibble-packed over the slow relay
+    B = reads.shape[0]
     flat, coord_off = both_strands(reads)                    # (2B, R)
     offs = _seed_diagonals(flat, table, index_keys, index_pos, offsets,
                            k, kb, stride, max_hits, top_k)
@@ -64,11 +66,12 @@ def _genome_align_core(reads, ref, table, index_keys, index_pos, offsets,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch"))
-def _genome_align_multi_core(reads, ref, table, index_keys, index_pos, offsets,
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch", "R"))
+def _genome_align_multi_core(packed, ref, table, index_keys, index_pos, offsets,
                              k: int, kb: int, stride: int, max_hits: int,
-                             top_k: int, match: int, mismatch: int):
-    B, R = reads.shape
+                             top_k: int, match: int, mismatch: int, R: int):
+    from anchored_fusion_tpu.ops.encode import unpack_nibbles
+    reads = unpack_nibbles(packed, R)
     flat, _ = both_strands(reads)
     offs = _seed_diagonals(flat, table, index_keys, index_pos, offsets,
                            k, kb, stride, max_hits, top_k)
@@ -84,6 +87,14 @@ class GenomeAligner:
                  kmer: Optional[int] = None, stride: Optional[int] = None):
         self.cfg = cfg or AlignConfig()
         self.reference = reference
+        if reference.total_length > 2**31 - 2**20:
+            # the flat index keeps int32 genome positions; past ~2.1Gbp use
+            # the sharded index (shard-local int32 + host int64 fold), which
+            # also runs single-device via its vmap fallback
+            raise ValueError(
+                f"genome is {reference.total_length} bp (> int32 coordinate "
+                "range); use parallel.sharded_genome.ShardedGenomeAligner "
+                "with n_shards >= 2")
         self.k = kmer or self.cfg.genome_kmer
         self.stride = stride or max(1, self.k // 2)
         self.codes = jnp.asarray(reference.seq)
@@ -103,8 +114,12 @@ class GenomeAligner:
         seqs = np.asarray(seqs, dtype=np.int8)
         if seqs.ndim == 1:
             seqs = seqs[None]
+        if seqs.shape[1] % 2:  # even width for nibble packing
+            seqs = np.concatenate(
+                [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
         B, R = seqs.shape
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        from anchored_fusion_tpu.ops.encode import pack_nibbles
         pending = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
@@ -116,10 +131,10 @@ class GenomeAligner:
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
             # async dispatch: all chunks in flight before the first collect
             pending.append((n_real, _genome_align_core(
-                sub, self.codes, self.index.table, self.index.keys_sorted,
-                self.index.pos_sorted, offsets, self.k, self.index.kb,
-                self.stride, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty)))
+                pack_nibbles(sub), self.codes, self.index.table,
+                self.index.keys_sorted, self.index.pos_sorted, offsets,
+                self.k, self.index.kb, self.stride, max_hits, top_k,
+                cfg.match_score, cfg.mismatch_penalty, R)))
         outs = [{n: v[:n_real]
                  for n, v in unstack_result(np.asarray(st)).items()}
                 for n_real, st in pending]
@@ -157,8 +172,12 @@ class GenomeAligner:
         seqs = np.asarray(seqs, dtype=np.int8)
         if seqs.ndim == 1:
             seqs = seqs[None]
+        if seqs.shape[1] % 2:  # even width for nibble packing
+            seqs = np.concatenate(
+                [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
         B, R = seqs.shape
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        from anchored_fusion_tpu.ops.encode import pack_nibbles
         pending = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
@@ -170,10 +189,10 @@ class GenomeAligner:
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
             # async dispatch first; host-side flatten happens at collect time
             pending.append((lo, n_real, sub, _genome_align_multi_core(
-                sub, self.codes, self.index.table, self.index.keys_sorted,
-                self.index.pos_sorted, offsets, self.k, self.index.kb,
-                self.stride, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty)))
+                pack_nibbles(sub), self.codes, self.index.table,
+                self.index.keys_sorted, self.index.pos_sorted, offsets,
+                self.k, self.index.kb, self.stride, max_hits, top_k,
+                cfg.match_score, cfg.mismatch_penalty, R)))
         parts = []
         for lo, n_real, sub, st in pending:
             seg = unstack_multi(np.asarray(st))

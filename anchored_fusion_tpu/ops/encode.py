@@ -52,6 +52,26 @@ def revcomp(codes):
     return rc[codes][..., ::-1]
 
 
+def pack_nibbles(codes: np.ndarray) -> np.ndarray:
+    """(B, R) int8 codes (values 0..5) -> (B, R/2) uint8, two codes per byte.
+
+    Host->device transfers ride a ~83MB/s relay in this environment — halving
+    the read-batch bytes halves the aligner's dominant cost.  R must be even
+    (reads are padded to 128 lanes).
+    """
+    a = np.asarray(codes, np.uint8)
+    assert a.shape[-1] % 2 == 0, "pack_nibbles needs an even row width"
+    return (a[..., 0::2] | (a[..., 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_nibbles(packed, R: int):
+    """Device-side inverse of :func:`pack_nibbles`: (B, R/2) uint8 -> (B, R) int8."""
+    p = jnp.asarray(packed)
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1], R)
+
+
 def one_hot(codes, dtype=jnp.bfloat16):
     """One-hot over the 4 real bases; N/PAD map to the zero vector.
 

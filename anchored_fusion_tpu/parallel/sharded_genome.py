@@ -72,11 +72,15 @@ def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
     return keys_arr, pos_arr, tbl_arr, seq_arr, np.asarray(offsets, np.int64), kb
 
 
-def _shard_best(reads, table, keys, pos, seq, offsets, read_offsets,
+def _shard_best(reads, table, keys, pos, seq, read_offsets,
                 k: int, kb: int, stride: int, max_hits: int, top_k: int,
                 match: int, mismatch: int):
-    """Best alignment of every read against ONE shard's slice (local coords
-    folded to global with the shard offset)."""
+    """Best alignment of every read against ONE shard's slice.
+
+    Reference coordinates stay shard-LOCAL int32 on device; the fold to
+    global happens on host in int64 (hg38 concatenates to 3.1e9 bp — past
+    int32 — and jax runs 32-bit, so a device-side `+ offset` silently
+    overflows for genomes over ~2.1Gbp)."""
     B, R = reads.shape
     flat, coord_off = both_strands(reads)
     rk, kvalid = pack_read_kmers_strided(flat, k, stride)
@@ -88,26 +92,40 @@ def _shard_best(reads, table, keys, pos, seq, offsets, read_offsets,
                                  hvalid.reshape(2 * B, C), top_k)
     offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
     cand = extend_diagonals(flat, seq, offs, match, mismatch)
-    out = fold_strands(cand, B, coord_off)
-    out["ref_start"] = out["ref_start"] + offsets
-    out["ref_end"] = out["ref_end"] + offsets
-    return out
+    return fold_strands(cand, B, coord_off)
 
 
 def _reduce_best(per_shard: dict):
-    """Keep the best-scoring shard hit per read: per_shard fields (S, B)."""
+    """Keep the best-scoring shard hit per read: per_shard fields (S, B).
+
+    The winning shard's index rides along as field 'shard' so the host can
+    fold local->global coordinates in int64."""
     best = jnp.argmax(per_shard["score"], axis=0)          # (B,)
     take = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
-    return {n: take(v) for n, v in per_shard.items()}
+    out = {n: take(v) for n, v in per_shard.items()}
+    out["shard"] = best.astype(jnp.int32)
+    return out
 
 
-def _shard_multi(reads, table, keys, pos, seq, offsets, read_offsets,
+_SENTINEL_OFF = -(2 ** 30) // 2
+
+
+def _stack_with_shard(out: dict):
+    """stack_result plus a 10th row carrying the winning shard index."""
+    from anchored_fusion_tpu.align.aligner import RESULT_FIELDS
+    rows = [out[n].astype(jnp.int32) for n in RESULT_FIELDS]
+    rows.append(out["shard"])
+    return jnp.stack(rows)
+
+
+def _shard_multi(reads, table, keys, pos, seq, read_offsets,
                  k: int, kb: int, stride: int, max_hits: int, top_k: int,
                  match: int, mismatch: int):
     """All-hits alignment of every read against ONE shard's slice.
 
-    Returns the stacked (6, 2B, top_k) multi-hit candidates with the shard
-    offset already folded into 'off' (global coordinates)."""
+    Returns the stacked (6, 2B, top_k) multi-hit candidates in shard-LOCAL
+    coordinates ('off'); the host folds to global int64 per shard (a device
+    fold overflows int32 past ~2.1Gbp of genome)."""
     B, R = reads.shape
     flat, _ = both_strands(reads)
     rk, kvalid = pack_read_kmers_strided(flat, k, stride)
@@ -117,13 +135,11 @@ def _shard_multi(reads, table, keys, pos, seq, offsets, read_offsets,
     C = diags.shape[1] * diags.shape[2]
     diag, votes = vote_diagonals(diags.reshape(2 * B, C),
                                  hvalid.reshape(2 * B, C), top_k)
-    sentinel = jnp.int32(-(2 ** 30) // 2)
-    offs = jnp.where(votes > 0, diag, sentinel)
+    # sentinel offsets stay far negative and score 0 (PAD windows), so the
+    # flatten-side min_score filter drops them
+    offs = jnp.where(votes > 0, diag, jnp.int32(_SENTINEL_OFF))
     seg = extend_diagonals_all(flat, seq, offs, match, mismatch)
-    # global frame; sentinel offsets stay far negative and score 0 (PAD
-    # windows), so the flatten-side min_score filter drops them
-    seg["off"] = jnp.where(offs == sentinel, sentinel,
-                           offs + jnp.asarray(offsets, jnp.int32))
+    seg["off"] = offs
     return stack_multi(seg)
 
 
@@ -148,6 +164,9 @@ class ShardedGenomeAligner:
             np.asarray(reference.seq), n_shards, self.k, overlap)
         self.kb = kb
         self.mesh = mesh
+        # shard offsets stay on HOST as int64: folding local->global on
+        # device would overflow int32 past ~2.1Gbp of genome (hg38 is 3.1G)
+        self.host_offs = np.asarray(offs, np.int64)
         if mesh is not None:
             mp = mesh.axis_names[1]
             sh = NamedSharding(mesh, P(mp))
@@ -155,13 +174,11 @@ class ShardedGenomeAligner:
             self.pos = jax.device_put(pos, sh)
             self.tbl = jax.device_put(tbl, sh)
             self.seq = jax.device_put(seq, sh)
-            self.offs = jax.device_put(offs, sh)
         else:
             self.keys = jnp.asarray(keys)
             self.pos = jnp.asarray(pos)
             self.tbl = jnp.asarray(tbl)
             self.seq = jnp.asarray(seq)
-            self.offs = jnp.asarray(offs)
 
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_seg_len: Optional[int] = None, top_k: Optional[int] = None,
@@ -190,25 +207,32 @@ class ShardedGenomeAligner:
         if self.mesh is not None:
             mp = self.mesh.axis_names[1]
 
-            def shard_fn(reads, tbl, keys, pos, seq, offs):
-                out = body(reads, tbl[0], keys[0], pos[0], seq[0], offs[0],
+            def shard_fn(reads, tbl, keys, pos, seq):
+                out = body(reads, tbl[0], keys[0], pos[0], seq[0],
                            read_offsets)
                 return {n: v[None] for n, v in out.items()}
 
             fn = jax.jit(jax.shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(P(), P(mp), P(mp), P(mp), P(mp), P(mp)),
+                in_specs=(P(), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
             per_shard = fn(jnp.asarray(seqs), self.tbl, self.keys, self.pos,
-                           self.seq, self.offs)
+                           self.seq)
         else:
             fn = jax.jit(jax.vmap(
-                lambda tbl, keys, pos, seq, off: body(
-                    jnp.asarray(seqs), tbl, keys, pos, seq, off, read_offsets)))
-            per_shard = fn(self.tbl, self.keys, self.pos, self.seq, self.offs)
-        # one device->host transfer: reduce + stack into a (9, B) int32 array
-        red = jax.jit(lambda ps: stack_result(_reduce_best(ps)))(per_shard)
-        cat = {n: v[:B0] for n, v in unstack_result(np.asarray(red)).items()}
+                lambda tbl, keys, pos, seq: body(
+                    jnp.asarray(seqs), tbl, keys, pos, seq, read_offsets)))
+            per_shard = fn(self.tbl, self.keys, self.pos, self.seq)
+        # one device->host transfer: reduce + stack (9 result fields + the
+        # winning shard id) into a (10, B) int32 array
+        red = jax.jit(lambda ps: _stack_with_shard(_reduce_best(ps)))(per_shard)
+        arr = np.asarray(red)
+        cat = {n: v[:B0] for n, v in unstack_result(arr[:-1]).items()}
+        shard = arr[-1][:B0]
+        # local -> global fold on HOST in int64 (see _shard_best docstring)
+        off64 = self.host_offs[shard]
+        cat["ref_start"] = cat["ref_start"].astype(np.int64) + off64
+        cat["ref_end"] = cat["ref_end"].astype(np.int64) + off64
         length = cat["length"]
         matches = cat["matches"]
         mapped = (cat["score"] >= min_score) & (length >= min_seg_len)
@@ -265,31 +289,34 @@ class ShardedGenomeAligner:
         if self.mesh is not None:
             mp = self.mesh.axis_names[1]
 
-            def shard_fn(reads, tbl, keys, pos, seq, offs):
-                out = body(reads, tbl[0], keys[0], pos[0], seq[0], offs[0],
+            def shard_fn(reads, tbl, keys, pos, seq):
+                out = body(reads, tbl[0], keys[0], pos[0], seq[0],
                            read_offsets)
                 return out[None]
 
             fn = jax.jit(jax.shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(P(), P(mp), P(mp), P(mp), P(mp), P(mp)),
+                in_specs=(P(), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
             per_shard = np.asarray(fn(jnp.asarray(seqs), self.tbl, self.keys,
-                                      self.pos, self.seq, self.offs))
+                                      self.pos, self.seq))
         else:
             fn = jax.jit(jax.vmap(
-                lambda tbl, keys, pos, seq, off: body(
-                    jnp.asarray(seqs), tbl, keys, pos, seq, off, read_offsets)))
-            per_shard = np.asarray(fn(self.tbl, self.keys, self.pos, self.seq,
-                                      self.offs))
+                lambda tbl, keys, pos, seq: body(
+                    jnp.asarray(seqs), tbl, keys, pos, seq, read_offsets)))
+            per_shard = np.asarray(fn(self.tbl, self.keys, self.pos, self.seq))
         parts = []
         for s in range(per_shard.shape[0]):
             seg = unstack_multi(per_shard[s])
             mh = _flatten_multi(seg, read_lens, B, top_k, min_score,
                                 min_identity, min_seg_len, R)
             sel = mh.read_id < B0
+            # local -> global coordinate fold on HOST in int64
+            off_s = np.int64(self.host_offs[s])
             parts.append(MultiHits(**{
-                f.name: getattr(mh, f.name)[sel]
+                f.name: (getattr(mh, f.name)[sel] + off_s
+                         if f.name in ("ref_start", "ref_end")
+                         else getattr(mh, f.name)[sel])
                 for f in dataclasses.fields(MultiHits)}))
         cat = MultiHits(**{
             f.name: np.concatenate([getattr(p, f.name) for p in parts])

@@ -68,3 +68,31 @@ def test_read_fastq_pair_bundled():
     assert rb.names[0].startswith("EU216071.1")
     # mate sequences are non-empty and PAD beyond length
     assert (rb.seq[:, :, 101:] == PAD).all()
+
+
+def test_downsample_halving_ladder(tmp_path):
+    """C19 downsampler: paired-consistent 2x ladder roundtrips through FASTQ."""
+    from anchored_fusion_tpu.bench.downsample import halving_ladder, downsample_batch
+    from anchored_fusion_tpu.io.fastq import read_fastq_pair
+    from anchored_fusion_tpu.bench.simulate import write_fastq_pair
+
+    names = [f"r{i}" for i in range(40)]
+    r1 = ["ACGTACGTAC" for _ in names]
+    r2 = ["TTGGCCAATT" for _ in names]
+    p1, p2 = str(tmp_path / "a_1.fastq.gz"), str(tmp_path / "a_2.fastq.gz")
+    write_fastq_pair(p1, p2, names, r1, r2)
+    ladder = halving_ladder(p1, p2, str(tmp_path / "ds"), steps=3)
+    assert [n for _, _, n in ladder] == [20, 10, 5]
+    q1, q2, _ = ladder[-1]
+    rb = read_fastq_pair(q1, q2)
+    assert rb.n_pairs == 5
+    # mates stay paired: names unique and from the original set
+    assert set(rb.names) <= set(names) and len(set(rb.names)) == 5
+
+    rb0 = read_fastq_pair(p1, p2)
+    half = downsample_batch(rb0, 0.5, seed=1)
+    assert half.n_pairs == 20
+    # paired consistency: each kept pair carries BOTH original mates
+    i0 = rb0.names.index(half.names[0])
+    import numpy as np
+    assert np.array_equal(half.seq[0], rb0.seq[i0])

@@ -140,3 +140,24 @@ def test_small_kb_key_check_rejects_bucket_collisions():
     assert 0 in hits0 and 8 in hits0          # both AAAA occurrences
     hits1 = set(np.asarray(pos)[0, 1][np.asarray(ok)[0, 1]])  # key CCCC
     assert hits1 == {4}
+
+
+def test_genome_aligner_rejects_int32_overflow_genomes():
+    """Genomes past int32 coordinate range (hg38 = 3.1Gbp) must be refused by
+    the flat index with a pointer to the sharded aligner, whose shard-local
+    int32 coords + host int64 fold stay exact at any size."""
+    import numpy as np
+    import pytest
+    from anchored_fusion_tpu.align.genome import GenomeAligner
+    from anchored_fusion_tpu.io.fasta import Reference
+
+    class HugeRef(Reference):
+        @property
+        def total_length(self):
+            return 3_100_000_000
+
+    ref = HugeRef(names=["chr1"], starts=np.array([0]),
+                  lengths=np.array([3_100_000_000]),
+                  seq=np.zeros(16, np.int8))
+    with pytest.raises(ValueError, match="ShardedGenomeAligner"):
+        GenomeAligner(ref)
