@@ -289,9 +289,13 @@ RESULT_FIELDS = ("score", "strand", "read_start", "read_end", "matches",
                  "length", "second_score", "ref_start", "ref_end")
 
 
-def stack_result(out: dict) -> jax.Array:
-    """Pack a fold_strands dict into one (9, B) int32 array (device-side)."""
-    return jnp.stack([out[n].astype(jnp.int32) for n in RESULT_FIELDS])
+def stack_result(out: dict, dtype=jnp.int32) -> jax.Array:
+    """Pack a fold_strands dict into one (9, B) array (device-side).
+
+    ``dtype=int16`` halves the device->host transfer and is exact whenever
+    every field fits 15 bits — true for small references (reads <= 128bp,
+    ref < 32kb), i.e. the anchored-transcript path."""
+    return jnp.stack([out[n].astype(dtype) for n in RESULT_FIELDS])
 
 
 def unstack_result(arr: np.ndarray) -> dict:
@@ -313,7 +317,10 @@ def _align_core_stacked_packed(packed, ref, seed_matrix, win_matrix,
                                stride: int, R: int):
     """Nibble-packed entry: the read batch crosses the host->device relay at
     two codes per byte (the transfer IS the aligner's dominant cost here) and
-    unpacks on device in one shift/mask."""
+    unpacks on device in one shift/mask.  (An int16 result stack was tried
+    for small references — exact, and it halves the return transfer — but
+    the int16 program takes the remote TPU toolchain >25 minutes to compile
+    vs ~1 minute for int32, so the return stays int32.)"""
     from anchored_fusion_tpu.ops.encode import unpack_nibbles
     reads = unpack_nibbles(packed, R)
     return stack_result(_align_core(reads, ref, seed_matrix, win_matrix,
