@@ -57,7 +57,7 @@ def test_path_matches_counts_substitutions(rng):
     assert m[0] == 100  # 101 bases, one mismatch
 
 
-def test_indel_junction_read_recovers_breakpoint(rng):
+def test_indel_junction_read_recovers_breakpoint():
     """VERDICT #3 done-criterion: a fusion junction read carrying a 2bp indel
     near the junction must still produce the correct anchored breakpoint once
     the gapped post-pass runs (bwa bridges such reads; the ungapped engine
@@ -65,6 +65,11 @@ def test_indel_junction_read_recovers_breakpoint(rng):
     from anchored_fusion_tpu.call.breakpoints import (
         cluster_split_reads, extract_split_reads, oriented_sequences)
 
+    # dedicated rng: the shared session fixture's state depends on which
+    # tests ran before, and this test's assertions are sequence-content
+    # sensitive (a chance repeat around the junction can shift a breakpoint
+    # by 1 exactly as bwa would)
+    rng = np.random.default_rng(20260819)
     anchor = random_dna(rng, 3000)
     bp = 1500  # fusion after anchor position 1500 (1-based breakpoint)
     # partner's first bases must differ from the anchor continuation, else a
