@@ -289,13 +289,9 @@ RESULT_FIELDS = ("score", "strand", "read_start", "read_end", "matches",
                  "length", "second_score", "ref_start", "ref_end")
 
 
-def stack_result(out: dict, dtype=jnp.int32) -> jax.Array:
-    """Pack a fold_strands dict into one (9, B) array (device-side).
-
-    ``dtype=int16`` halves the device->host transfer and is exact whenever
-    every field fits 15 bits — true for small references (reads <= 128bp,
-    ref < 32kb), i.e. the anchored-transcript path."""
-    return jnp.stack([out[n].astype(dtype) for n in RESULT_FIELDS])
+def stack_result(out: dict) -> jax.Array:
+    """Pack a fold_strands dict into one (9, B) int32 array (device-side)."""
+    return jnp.stack([out[n].astype(jnp.int32) for n in RESULT_FIELDS])
 
 
 def unstack_result(arr: np.ndarray) -> dict:

@@ -185,6 +185,7 @@ def refine_alignments(
     n = len(sel)
     parts = {k: [] for k in ("score", "start_read", "end_read",
                              "start_win", "end_win")}
+    wins_all = np.empty((n, W), np.int8)
     for lo in range(0, n, _REFINE_CHUNK):
         hi = min(lo + _REFINE_CHUNK, n)
         m = hi - lo
@@ -192,7 +193,8 @@ def refine_alignments(
         reads = np.full((m_pad, R), PAD, np.int8)
         reads[:m] = oriented_seqs[sel[lo:hi]]
         wins = np.full((m_pad, W), PAD, np.int8)
-        wins[:m] = extract_windows(ref_codes, win_start[lo:hi], W)
+        wins[:m] = wins_all[lo:hi] = extract_windows(
+            ref_codes, win_start[lo:hi], W)
         out = _sw_align_fast(reads, wins, reads != PAD, wins != PAD, cfg)
         for k in parts:
             parts[k].append(np.asarray(out[k])[:m])
@@ -215,9 +217,10 @@ def refine_alignments(
         new.ref_start[idx] = np.clip(win_start[better] + sj[better], 0, L - 1)
         new.ref_end[idx] = np.clip(win_start[better] + ej[better], 0, L - 1)
         new.length[idx] = er[better] - sr[better] + 1
-        # exact matches of the adopted gapped paths (real identity downstream)
+        # exact matches of the adopted gapped paths (real identity downstream);
+        # windows reused from the SW pass, not re-gathered
         new.matches[idx] = path_matches(
-            oriented_seqs[idx], extract_windows(ref_codes, win_start[better], W),
+            oriented_seqs[idx], wins_all[better],
             cfg.match_score, cfg.mismatch_penalty, cfg.gap_open,
             cfg.gap_extend)
     return new

@@ -87,37 +87,37 @@ def reconstruct_transcripts(reads: ReadBatch) -> Dict[str, np.ndarray]:
             by_src.setdefault(c[0], []).append(i)
 
     out: Dict[str, np.ndarray] = {}
+    R = reads.max_len
     for src, idx in by_src.items():
         idx = np.asarray(idx)
         s0 = np.asarray([coords[i][1] - 1 for i in idx])           # fwd start
         ends = np.asarray([coords[i][2] for i in idx])
         m1 = reads.seq[idx, 0]
         m2 = reads.seq[idx, 1]
-        l1 = reads.length[idx, 0]
-        l2 = reads.length[idx, 1]
         L = int(ends.max())
         votes = np.zeros((L, N_REAL), np.int64)
-        # the reverse read *ends* at `end`; its start depends on which mate
-        # it is (lengths can differ), so keep both candidates around
-        r0_if_m1 = ends - l1                                        # rc(m1) there
-        r0_if_m2 = ends - l2
+        # revcomp of a right-PAD-padded row leaves the PAD run at the FRONT:
+        # an rc row's real bases sit at row indices R-len..R-1, so placing
+        # row index 0 at ends-R puts them at ends-len..ends-1 for ANY mate
+        # length (the PAD rows never vote: _vote masks codes >= N_REAL)
+        r0 = ends - R
         rc1, rc2 = revcomp(m1), revcomp(m2)
         # pass 1: vote both configurations
         _vote(votes, m1, s0)
         _vote(votes, m2, s0)
-        _vote(votes, rc1, r0_if_m1)
-        _vote(votes, rc2, r0_if_m2)
+        _vote(votes, rc1, r0)
+        _vote(votes, rc2, r0)
         cons = np.where(votes.sum(1) == 0, BASE_N,
                         votes.argmax(1)).astype(np.int8)
         # pass 2: per-pair orientation by agreement with the pass-1 consensus
-        score_a = _agree(m1, cons, s0) + _agree(rc2, cons, r0_if_m2)
-        score_b = _agree(m2, cons, s0) + _agree(rc1, cons, r0_if_m1)
+        score_a = _agree(m1, cons, s0) + _agree(rc2, cons, r0)
+        score_b = _agree(m2, cons, s0) + _agree(rc1, cons, r0)
         a = score_a >= score_b
         votes[:] = 0
         _vote(votes, m1[a], s0[a])
-        _vote(votes, rc2[a], r0_if_m2[a])
+        _vote(votes, rc2[a], r0[a])
         _vote(votes, m2[~a], s0[~a])
-        _vote(votes, rc1[~a], r0_if_m1[~a])
+        _vote(votes, rc1[~a], r0[~a])
         out[src] = np.where(votes.sum(1) == 0, BASE_N,
                             votes.argmax(1)).astype(np.int8)
     return out

@@ -168,7 +168,13 @@ def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
     ``parallel.collectives.psum_pwm_votes``).
     """
     M = len(rows)
-    Mp = max(64, -(-M // 64) * 64)
+    mult = 64
+    if mesh is not None:
+        import math
+        # the row axis is dp-sharded: pad to a multiple the dp size divides
+        # (a bare 64 crashes device_put for dp sizes like 3 or 5)
+        mult = math.lcm(64, mesh.shape[mesh.axis_names[0]])
+    Mp = max(mult, -(-M // mult) * mult)
     Gp = max(8, -(-n_groups // 8) * 8)
     rp = np.full((Mp, WIDTH), -1, np.int8)
     rp[:M] = rows

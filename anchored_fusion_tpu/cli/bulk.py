@@ -75,6 +75,7 @@ def main(argv=None) -> int:
 
     from anchored_fusion_tpu.utils.debug import gene_guard
     failures: list = []
+    attempted = 0
     for gi, gene_name in enumerate(gene_names):
         out_name = gene_name + "_fusion"
         gene_dir = os.path.join(args.out_folder, out_name)
@@ -93,6 +94,7 @@ def main(argv=None) -> int:
             continue
         score_fn = common.make_score_fn(filt, decode_to_str(anchor_codes),
                                         genome, index)
+        attempted += 1
         with log.stage(f"call:{gene_name}", items=reads.n_pairs * 2):
             with gene_guard(gene_name, failures, retries=args.gene_retries) as g:
                 g.run(lambda: pipe.call_gene(
@@ -109,7 +111,11 @@ def main(argv=None) -> int:
     if failures:
         log.set(failures=failures)
     log.dump(os.path.join(args.out_folder, "run_stats.json"))
-    return 2 if failures and len(failures) == len(gene_names) else 0
+    # 2 = every ATTEMPTED gene failed (resume-skips don't mask a dead run),
+    # 1 = some failed, 0 = clean
+    if failures and len(failures) == attempted:
+        return 2
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -176,7 +176,7 @@ def setup_filter(args, pipe: FusionPipeline, index: ExonIndex,
         except Exception:
             warm = None
     return train_filter_model(positives, negatives, cfg, model_file,
-                              warm_start=warm)
+                              warm_start=warm, mesh=pipe.mesh)
 
 
 def make_score_fn(filt: Optional[TrainedFilter], anchor_seq: str,

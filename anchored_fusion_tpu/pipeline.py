@@ -77,12 +77,22 @@ class FusionPipeline:
         if mesh is None:
             mesh = mesh_from_config(self.cfg.mesh)
         self.mesh = mesh
+        int32_safe = 2**31 - 2**20
         if mesh is not None and mesh.shape[mesh.axis_names[1]] > 1:
             from anchored_fusion_tpu.parallel.sharded_genome import (
                 ShardedGenomeAligner)
             self.genome_aligner = ShardedGenomeAligner(
                 genome, n_shards=mesh.shape[mesh.axis_names[1]],
                 cfg=self.cfg.align, mesh=mesh)
+        elif genome.total_length > int32_safe:
+            # hg38-scale genomes exceed the flat index's int32 coordinate
+            # range; the sharded index runs fine on a single device via its
+            # vmap fallback (shard-local int32 coords, host int64 fold)
+            from anchored_fusion_tpu.parallel.sharded_genome import (
+                ShardedGenomeAligner)
+            n = -(-genome.total_length // (int32_safe // 2))
+            self.genome_aligner = ShardedGenomeAligner(
+                genome, n_shards=max(2, int(n)), cfg=self.cfg.align)
         else:
             self.genome_aligner = GenomeAligner(genome, self.cfg.align)
         self.cache = StageCache(cache_dir)
@@ -129,6 +139,8 @@ class FusionPipeline:
         """
         t0 = time.time()
         cells = list(cell_reads.items())
+        if not cells:
+            return {}
         R = max(rb.max_len for _, rb in cells)
         parts = []
         for _, rb in cells:

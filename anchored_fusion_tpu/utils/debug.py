@@ -54,6 +54,7 @@ def gene_guard(gene_name: str, failures: list, retries: int = 0,
 
         def run(self, fn: Callable):
             last = None
+            last_tb = ""
             for attempt in range(retries + 1):
                 try:
                     self.result = fn()
@@ -62,13 +63,17 @@ def gene_guard(gene_name: str, failures: list, retries: int = 0,
                     raise
                 except Exception as e:  # noqa: BLE001 - isolation point
                     last = e
+                    # capture INSIDE the except clause: sys.exc_info() is
+                    # cleared once it exits, and format_exc() would record
+                    # 'NoneType: None'
+                    last_tb = traceback.format_exc()
                     if attempt < retries:
                         time.sleep(retry_delay_s)
             self.failed = True
             failures.append({
                 "gene": gene_name,
                 "error": repr(last),
-                "traceback": traceback.format_exc(),
+                "traceback": last_tb,
                 "attempts": retries + 1,
             })
             print(f"ERROR: gene {gene_name} failed after {retries + 1} "

@@ -24,10 +24,20 @@ class StageLogger:
         self.profile_dir = profile_dir or os.environ.get("AFT_PROFILE_DIR")
         self._tracing = False
         if self.profile_dir:
+            import atexit
             import jax
             os.makedirs(self.profile_dir, exist_ok=True)
             jax.profiler.start_trace(self.profile_dir)
             self._tracing = True
+            # flush the trace even when the run raises before dump()
+            atexit.register(self._stop_trace)
+
+    def _stop_trace(self):
+        if self._tracing:
+            import jax
+            jax.profiler.stop_trace()
+            self._tracing = False
+            self.stats["profile_dir"] = self.profile_dir
 
     @contextlib.contextmanager
     def stage(self, name: str, items: Optional[int] = None,
@@ -61,11 +71,7 @@ class StageLogger:
 
     def dump(self, path: str):
         self.stats["time.total_s"] = round(time.time() - self._t0, 3)
-        if self._tracing:
-            import jax
-            jax.profiler.stop_trace()
-            self._tracing = False
-            self.stats["profile_dir"] = self.profile_dir
+        self._stop_trace()
         with open(path, "w") as fh:
             json.dump({"run": self.name, "stats": self.stats}, fh, indent=1,
                       default=str)

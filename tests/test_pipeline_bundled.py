@@ -39,6 +39,30 @@ def test_wgsim_name_parse():
     assert parse_wgsim_name("not_a_wgsim_read") is None
 
 
+def test_reconstruction_exact_on_clean_reads():
+    """Error-free padded reads must reconstruct their source EXACTLY —
+    including the reverse mates, whose revcomp'd rows carry a leading PAD
+    run that the vote placement must account for."""
+    from anchored_fusion_tpu.bench.simulate import simulate_pairs
+    from anchored_fusion_tpu.io.fastq import ReadBatch
+    from anchored_fusion_tpu.ops.encode import encode_ascii
+
+    rng = np.random.default_rng(5)
+    src = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    names, r1, r2 = simulate_pairs(rng, src, 600, error_rate=0.0)
+    seq = np.stack([
+        np.stack([encode_ascii(x, length=128), encode_ascii(y, length=128)])
+        for x, y in zip(r1, r2)])
+    wnames = []
+    for i, n in enumerate(names):
+        _, s0, e0, _ = n.rsplit("_", 3)
+        wnames.append(f"SRC_{int(s0) + 1}_{e0}_0:0:0_0:0:0_{i:x}")
+    rb = ReadBatch(wnames, seq, np.full((len(names), 2), 101, np.int32))
+    cons = reconstruct_transcripts(rb)["SRC"]
+    cov = np.nonzero(cons != BASE_N)[0]
+    assert (cons[cov] == encode_ascii(src)[cov]).all()
+
+
 def test_transcript_reconstruction_and_junction(surrogate):
     sg, reads, anchor = surrogate
     tx = reconstruct_transcripts(reads)
