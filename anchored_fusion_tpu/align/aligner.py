@@ -72,6 +72,12 @@ class AlignmentResult:
 # candidate reference reuse the device-resident im2col.
 _SEED_CACHE: dict = {}
 
+# Max dispatched-but-uncollected chunks in the streaming align loops: deep
+# enough to hide dispatch/transfer latency behind compute, shallow enough
+# that device memory for in-flight inputs/results stays constant however
+# many chunks a multi-million-read batch splits into.
+_INFLIGHT_CHUNKS = 4
+
 
 def _ref_digest(ref_codes: np.ndarray) -> bytes:
     import hashlib
@@ -513,11 +519,15 @@ def align_to_reference(
     W, W2 = _seed_matrix_cached(ref_codes, R, stride, sharding=rep_sh)
     ref = (jnp.asarray(ref_codes, dtype=jnp.int8) if mesh is None
            else jax.device_put(np.asarray(ref_codes, np.int8), rep_sh))
-    # dispatch ALL chunks first (jax dispatch is async — the next chunk's
-    # host->device transfer overlaps the previous chunk's compute), then
-    # collect: one device->host transfer per chunk of the stacked (9, B)
-    # result
+    # dispatch chunks asynchronously (the next chunk's host->device transfer
+    # overlaps the previous chunk's compute) with a bounded in-flight window:
+    # collecting chunk i-K while dispatching chunk i keeps transfer/compute
+    # overlap but caps live device buffers at K chunks instead of queueing
+    # the whole read set's HBM up front
     pending = []
+    outs = []
+    _collect = lambda n_real, st: {
+        n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
         n_real = sub.shape[0]
@@ -543,8 +553,9 @@ def align_to_reference(
             pending.append((n_real, _align_core_stacked(
                 sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
                 stride)))
-    outs = [{n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
-            for n_real, st in pending]
+        if len(pending) > _INFLIGHT_CHUNKS:
+            outs.append(_collect(*pending.pop(0)))
+    outs.extend(_collect(*p) for p in pending)
     if not outs:
         z = lambda dt: np.zeros(0, dt)
         return AlignmentResult(z(np.int32), z(np.int8), z(np.int32), z(np.int32),

@@ -28,7 +28,8 @@ from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
     AlignmentResult, MultiHits, both_strands, extend_diagonals,
     extend_diagonals_all, fold_strands, _flatten_multi,
-    stack_result, unstack_result, stack_multi, unstack_multi)
+    stack_result, unstack_result, stack_multi, unstack_multi,
+    _INFLIGHT_CHUNKS)
 
 
 def _seed_diagonals(flat, table, index_keys, index_pos, offsets,
@@ -121,6 +122,9 @@ class GenomeAligner:
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         from anchored_fusion_tpu.ops.encode import pack_nibbles
         pending = []
+        outs = []
+        _collect = lambda n_real, st: {
+            n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
@@ -129,15 +133,16 @@ class GenomeAligner:
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            # async dispatch: all chunks in flight before the first collect
+            # async dispatch with a bounded in-flight window (constant device
+            # memory for arbitrarily large read sets; see aligner.py)
             pending.append((n_real, _genome_align_core(
                 pack_nibbles(sub), self.codes, self.index.table,
                 self.index.keys_sorted, self.index.pos_sorted, offsets,
                 self.k, self.index.kb, self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty, R)))
-        outs = [{n: v[:n_real]
-                 for n, v in unstack_result(np.asarray(st)).items()}
-                for n_real, st in pending]
+            if len(pending) > _INFLIGHT_CHUNKS:
+                outs.append(_collect(*pending.pop(0)))
+        outs.extend(_collect(*p) for p in pending)
         cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
         length = cat["length"]
         matches = cat["matches"]
@@ -179,6 +184,7 @@ class GenomeAligner:
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         from anchored_fusion_tpu.ops.encode import pack_nibbles
         pending = []
+        parts = []
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
@@ -187,24 +193,33 @@ class GenomeAligner:
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            # async dispatch first; host-side flatten happens at collect time
+            # async dispatch with a bounded in-flight window; host-side
+            # flatten happens at collect time
             pending.append((lo, n_real, sub, _genome_align_multi_core(
                 pack_nibbles(sub), self.codes, self.index.table,
                 self.index.keys_sorted, self.index.pos_sorted, offsets,
                 self.k, self.index.kb, self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty, R)))
-        parts = []
-        for lo, n_real, sub, st in pending:
-            seg = unstack_multi(np.asarray(st))
-            read_lens = (sub != PAD).sum(axis=1).astype(np.int32)
-            mh = _flatten_multi(seg, read_lens,
-                                sub.shape[0], top_k, min_score, min_identity,
-                                min_seg_len, R)
-            sel = mh.read_id < n_real
-            parts.append(MultiHits(**{
-                f.name: getattr(mh, f.name)[sel] if f.name != "read_id"
-                else mh.read_id[sel] + lo
-                for f in dataclasses.fields(MultiHits)}))
+            if len(pending) > _INFLIGHT_CHUNKS:
+                parts.append(self._collect_multi(*pending.pop(0), top_k,
+                                                 min_score, min_identity,
+                                                 min_seg_len, R))
+        parts.extend(self._collect_multi(*p, top_k, min_score, min_identity,
+                                         min_seg_len, R) for p in pending)
         return MultiHits(**{
             f.name: np.concatenate([getattr(p, f.name) for p in parts])
+            for f in dataclasses.fields(MultiHits)})
+
+    @staticmethod
+    def _collect_multi(lo, n_real, sub, st, top_k, min_score, min_identity,
+                       min_seg_len, R) -> MultiHits:
+        """Pull one dispatched align_multi chunk to host and flatten it."""
+        seg = unstack_multi(np.asarray(st))
+        read_lens = (sub != PAD).sum(axis=1).astype(np.int32)
+        mh = _flatten_multi(seg, read_lens, sub.shape[0], top_k, min_score,
+                            min_identity, min_seg_len, R)
+        sel = mh.read_id < n_real
+        return MultiHits(**{
+            f.name: getattr(mh, f.name)[sel] if f.name != "read_id"
+            else mh.read_id[sel] + lo
             for f in dataclasses.fields(MultiHits)})

@@ -90,15 +90,20 @@ def path_matches(reads: np.ndarray, wins: np.ndarray, match: int = 1,
     go = (gap_open + gap_extend) * SC
     ge = gap_extend * SC
 
-    rvalid = (reads != PAD) & (reads < 4)
-    wvalid = (wins != PAD) & (wins < 4)
+    # Validity matches sw_end exactly: PAD-only.  N (code 4) is a VALID cell
+    # scored as an ordinary mismatch (eq below requires code < 4), so the
+    # match count describes the SAME path the adoption-deciding kernel scored
+    # — treating N as a barrier here made score and matches describe
+    # different alignments for N-containing windows.
+    rvalid = reads != PAD
+    wvalid = wins != PAD
     H = np.zeros((n, R), np.int64)
     E = np.full((n, R), NEG, np.int64)
     best = np.zeros(n, np.int64)
     k = np.arange(R, dtype=np.int64)[None, :]
     for j in range(W):
         wcol = wins[:, j:j + 1]
-        eq = (reads == wcol) & rvalid & (wvalid[:, j:j + 1])
+        eq = (reads == wcol) & (reads < 4) & rvalid & (wvalid[:, j:j + 1])
         s = np.where(eq, match * SC + 1, -np.int64(mismatch) * SC)
         s = np.where(rvalid & wvalid[:, j:j + 1], s, NEG)
         E = np.maximum(H - go, E - ge)

@@ -78,13 +78,21 @@ class StagePreset:
     min_score: int
     min_identity: float
     step: int = 1
+    # Minimum aligned segment length a hit must reach to count at this stage
+    # (0 = engine default).  blat has no direct flag for this; stages that
+    # consume clip-side hits bound it by the min clip length they accept.
+    min_seg_len: int = 0
 
 
 # blat -stepSize=3 -repMatch=10000 -minScore=50 -minIdentity=80 (functions.py:341)
 HOMOLOG_PRESET = StagePreset("homolog", min_score=50, min_identity=0.80, step=3)
-# blat -minScore=20 (functions.py:530); default blat stepSize is tileSize=11
-# but fine-block queries are short reads — keep full-resolution seeding.
-FINE_BLOCK_PRESET = StagePreset("fine_block", min_score=20, min_identity=0.85, step=1)
+# blat -minScore=20 and NO identity flag (functions.py:530); default blat
+# stepSize is tileSize=11 but fine-block queries are short reads — keep
+# full-resolution seeding.  min_seg_len=15 mirrors the stage's own floor:
+# only clips >= min_clip_len (15, functions.py:923/:928) reach it, so a
+# shorter genome hit can never explain a surviving clip.
+FINE_BLOCK_PRESET = StagePreset("fine_block", min_score=20, min_identity=0.0,
+                                step=1, min_seg_len=15)
 # blat -stepSize=3 -minScore=20 -minMatch=2 -minIdentity=0 (functions.py:966)
 CANDIDATE_LEAK_PRESET = StagePreset("candidate_leak", min_score=20, min_identity=0.0, step=3)
 # blat -stepSize=3 -minScore=12 -minMatch=2 -minIdentity=90 (functions.py:1007,:1071,:1122)

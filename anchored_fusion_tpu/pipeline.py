@@ -169,7 +169,8 @@ class FusionPipeline:
                 r = self._call_stages(
                     gene_name, anchor_codes, rb, res_c, prefix, None,
                     score_fn, homo, t0=time.time(),
-                    align_s=align_s * (offs[i + 1] - offs[i]) / offs[-1])
+                    align_s=align_s * (offs[i + 1] - offs[i])
+                    / max(int(offs[-1]), 1))
             except Exception as e:  # noqa: BLE001 - per-cell isolation
                 if failures is None:
                     raise
@@ -269,7 +270,9 @@ class FusionPipeline:
         if len(clipped):
             c_seqs = osq[clipped]
             ghits = self.genome_aligner.align_multi(
-                c_seqs, min_score=FINE_BLOCK_PRESET.min_score, min_seg_len=15)
+                c_seqs, min_score=FINE_BLOCK_PRESET.min_score,
+                min_identity=FINE_BLOCK_PRESET.min_identity,
+                min_seg_len=FINE_BLOCK_PRESET.min_seg_len)
             m_start = np.where(kind[clipped] == 2, res.read_start[clipped], 0)
             m_len = res.read_end[clipped] - res.read_start[clipped] + 1
             keep = rescue_filter(len(clipped), m_start, m_len, lens[clipped],
