@@ -35,21 +35,21 @@ from anchored_fusion_tpu.align.aligner import AlignmentResult
 def _sw_align_fast(reads, wins, rv, wv, cfg: AlignConfig):
     """Forward + reverse SW end-finding with the fastest available backend.
 
-    On a TPU backend the Pallas kernel runs both passes (the lax.scan
-    implementation takes minutes to *compile* through the remote TPU
-    toolchain); elsewhere the scan path is used.  The reverse pass re-runs
-    the forward DP on host-prepared reversed prefixes — start = end - rev_end.
+    On a TPU backend both passes run in ONE fused dispatch (Pallas forward,
+    device-side prefix reversal, Pallas reverse, stacked (5, B) return —
+    sw_pallas.sw_align_fused_pallas); the lax.scan implementation takes
+    minutes to *compile* through the remote TPU toolchain, so it is only the
+    CPU fallback.  The reverse pass re-runs the forward DP on reversed
+    prefixes — start = end - rev_end.
     """
     import jax as _jax
-    use_pallas = _jax.default_backend() == "tpu"
     kw = dict(match=cfg.match_score, mismatch=cfg.mismatch_penalty,
               gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
+    if _jax.default_backend() == "tpu":
+        from anchored_fusion_tpu.ops.sw_pallas import sw_align_fused_pallas
+        return sw_align_fused_pallas(reads, wins, **kw)
 
     def fwd(r, w, rvv, wvv):
-        if use_pallas:
-            from anchored_fusion_tpu.ops.sw_pallas import sw_end_pallas
-            b, er, ej = sw_end_pallas(r, w, rvv, wvv, **kw)
-            return np.asarray(b), np.asarray(er), np.asarray(ej)
         b, er, ej = sw.sw_end(jnp.asarray(r), jnp.asarray(w),
                               jnp.asarray(rvv), jnp.asarray(wvv), **kw)
         return np.asarray(b), np.asarray(er), np.asarray(ej)

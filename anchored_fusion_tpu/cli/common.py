@@ -44,7 +44,7 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--gpu_number", type=str, default="-1",
                    help="Accepted for compatibility; accelerator selection is "
                         "JAX-level")
-    p.add_argument("--read_batch", type=int, default=8192)
+    p.add_argument("--read_batch", type=int, default=32768)
     p.add_argument("--resume", action="store_true",
                    help="Skip genes whose predictions file already exists")
     p.add_argument("--gene_retries", type=int, default=1,

@@ -210,9 +210,10 @@ class PipelineConfig:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     # Batch of reads processed per device step.  Each device dispatch costs
     # ~22ms through the axon relay, so bigger batches win until the seeding
-    # matrix (B x (L+R)) presses on HBM; 8192 x a transcript-sized reference
-    # is ~113MB bf16.
-    read_batch: int = 8192
+    # matrix (B x (L+R)) presses on HBM; 32768 x a transcript-sized reference
+    # is ~450MB bf16 (well within one v5e chip), and a typical targeted
+    # sample's anchored stage becomes a single dispatch.
+    read_batch: int = 32768
     # Run the DL false-positive filter (reference --not_filter_false_positive inverts).
     filter_false_positive: bool = True
     # Train the filter on input data (reference --not_train_filter_model inverts).
