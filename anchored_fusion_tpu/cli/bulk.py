@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     from anchored_fusion_tpu.utils.debug import maybe_enable_from_env
     maybe_enable_from_env()
     args = build_parser().parse_args(argv)
+    multi = common.init_cluster(args)
+    proc0 = True
+    if multi:
+        import jax
+        proc0 = jax.process_index() == 0
     log = StageLogger("bulk")
     gene_names = common.resolve_gene_names(args)
     if not gene_names:
@@ -95,11 +100,15 @@ def main(argv=None) -> int:
         score_fn = common.make_score_fn(filt, decode_to_str(anchor_codes),
                                         genome, index)
         attempted += 1
+        # in a multi-host cluster every process computes the gene (stage 1
+        # host-sharded + gathered inside call_gene); only process 0 writes
+        # the prediction files — no shared-filesystem write races
         with log.stage(f"call:{gene_name}", items=reads.n_pairs * 2):
             with gene_guard(gene_name, failures, retries=args.gene_retries) as g:
                 g.run(lambda: pipe.call_gene(
                     gene_name, anchor_codes, reads,
-                    out_prefix=out_prefix, score_fn=score_fn))
+                    out_prefix=out_prefix if proc0 else None,
+                    score_fn=score_fn))
             result = g.result
         if result is None:
             continue
@@ -110,7 +119,8 @@ def main(argv=None) -> int:
                   f"spanning={row['spanning']}\tsplit={row['split']}")
     if failures:
         log.set(failures=failures)
-    log.dump(os.path.join(args.out_folder, "run_stats.json"))
+    if proc0:
+        log.dump(os.path.join(args.out_folder, "run_stats.json"))
     # 2 = every ATTEMPTED gene failed (resume-skips don't mask a dead run),
     # 1 = some failed, 0 = clean
     if failures and len(failures) == attempted:

@@ -50,6 +50,24 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--gene_retries", type=int, default=1,
                    help="Retries per gene on transient failures before the "
                         "gene is recorded as failed and the run continues")
+    # multi-host cluster flags (SURVEY §2.3 item 4): launch the same command
+    # on every host with --coordinator host0:port --num_procs N --proc_id i
+    # (or AFT_COORDINATOR/AFT_NUM_PROCS/AFT_PROC_ID env vars).  Single-host
+    # runs leave these unset — a strict no-op.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="jax.distributed coordinator address (host:port); "
+                        "enables the multi-host runtime")
+    p.add_argument("--num_procs", type=int, default=None,
+                   help="Total processes in the multi-host cluster")
+    p.add_argument("--proc_id", type=int, default=None,
+                   help="This process's id within the multi-host cluster")
+
+
+def init_cluster(args) -> bool:
+    """Bring up the multi-controller runtime when requested; returns True
+    iff this is one process of a multi-process cluster."""
+    from anchored_fusion_tpu.parallel.distributed import initialize
+    return initialize(args.coordinator, args.num_procs, args.proc_id)
 
 
 def resolve_gene_names(args) -> List[str]:

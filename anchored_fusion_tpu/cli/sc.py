@@ -62,10 +62,25 @@ def main(argv=None) -> int:
     from anchored_fusion_tpu.utils.debug import maybe_enable_from_env
     maybe_enable_from_env()
     args = build_parser().parse_args(argv)
+    multi = common.init_cluster(args)
+    proc0 = True
     log = StageLogger("singlecell")
     gene_names = common.resolve_gene_names(args)
     pairs = discover_pairs(args.fastq_dir)
-    if not pairs:
+    all_cells = [name for name, _f1, _f2 in pairs]
+    if multi:
+        # per-host cell sharding (SURVEY §2.3 item 1): each host batches and
+        # calls its own slice of the cell list, writing per-cell prediction
+        # files (distinct paths — no cross-host write races); process 0
+        # aggregates across ALL cells after the barrier below.  NB with the
+        # filter ON each host mines negatives from its local cells only; for
+        # bit-identical multi-host filter verdicts pass a pre-trained
+        # --model_file or a shared --negative_samples file.
+        import jax
+        from anchored_fusion_tpu.parallel.distributed import host_shard
+        proc0 = jax.process_index() == 0
+        pairs = pairs[host_shard(len(pairs))]
+    if not all_cells:
         print("no per-cell FASTQ pairs found")
         return 1
     os.makedirs(args.out_folder, exist_ok=True)
@@ -91,7 +106,7 @@ def main(argv=None) -> int:
             os.path.join(args.fastq_dir, f1), os.path.join(args.fastq_dir, f2))
 
     filt = None
-    if not args.not_filter_false_positive:
+    if not args.not_filter_false_positive and cell_reads:
         with log.stage("filter_setup"):
             import numpy as np
             all_seqs = np.concatenate(
@@ -128,7 +143,14 @@ def main(argv=None) -> int:
         if failures:
             log.set(**{f"failures.{gene_name}": failures})
 
-        # cross-cell aggregation (Anchored_Fusion_singlecell.py:258-288)
+        # cross-cell aggregation (Anchored_Fusion_singlecell.py:258-288);
+        # in a cluster: wait for every host's per-cell files, then process 0
+        # aggregates over the FULL cell list via the shared filesystem
+        if multi:
+            from anchored_fusion_tpu.parallel.distributed import barrier
+            barrier(f"sc_cells_done:{gene_name}")
+        if not proc0:
+            continue
         agg_path = os.path.join(gene_dir, out_name + "_gene_cell_predictions_abridged.txt")
         full_path = os.path.join(gene_dir, out_name + "_gene_cell_predictions.txt")
         faa = open(agg_path, "w")
@@ -140,7 +162,7 @@ def main(argv=None) -> int:
                   "Partner_gene_Y\tY_clip_location\tSpanning_read_count\t"
                   "Breakpoint_read_count\n")
         agg: Dict[str, list] = {}
-        for cell, _rows in per_cell_rows.items():
+        for cell in (all_cells if multi else per_cell_rows):
             pred = os.path.join(work_dir, cell, out_name + "_predictions.txt")
             if not os.path.exists(pred):
                 continue
@@ -163,7 +185,8 @@ def main(argv=None) -> int:
                       + ";".join(v[3]) + "\n")
         faa.close()
         fao.close()
-    log.dump(os.path.join(args.out_folder, "run_stats.json"))
+    if proc0:
+        log.dump(os.path.join(args.out_folder, "run_stats.json"))
     return 0
 
 

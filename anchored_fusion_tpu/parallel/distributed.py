@@ -39,3 +39,54 @@ def host_shard(n_items: int) -> slice:
     n = jax.process_count()
     per = -(-n_items // n)
     return slice(p * per, min((p + 1) * per, n_items))
+
+
+def allgather_alignment(res, n_pairs: int):
+    """Assemble a global AlignmentResult from per-host pair-slice results.
+
+    Each host aligns the reads of its ``host_shard(n_pairs)`` pair slice (two
+    rows per pair, order preserved); this gathers the per-read record fields
+    across processes so every host holds the identical full-batch result and
+    the downstream (host-side) calling stages run deterministically and
+    redundantly on all hosts.  The transport is ONE int64 (rows, fields)
+    array per host — int64 because ``ref_start``/``ref_end`` are genome-global
+    coordinates that exceed int32 at hg38 scale.
+
+    The reference has no multi-host story at all (SURVEY §2.3); this is the
+    TPU-native replacement for its single-process ``bwa mem`` over the full
+    FASTQ (Anchored_Fusion.py:182) — the dominant stage, sharded by host.
+    """
+    import dataclasses
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    nprocs = jax.process_count()
+    per = -(-n_pairs // nprocs)
+    fields = dataclasses.fields(type(res))
+    loc = np.stack([np.asarray(getattr(res, f.name)).astype(np.int64)
+                    for f in fields], axis=1)
+    pad = 2 * per - loc.shape[0]
+    if pad:
+        loc = np.concatenate(
+            [loc, np.zeros((pad, loc.shape[1]), np.int64)], axis=0)
+    glob = multihost_utils.process_allgather(loc, tiled=True)
+    # strip per-shard padding (the LAST shard may be short; host_shard slices
+    # are contiguous and ordered, so concatenation restores read order)
+    parts = []
+    for i in range(nprocs):
+        lo, hi = i * per, min((i + 1) * per, n_pairs)
+        parts.append(glob[i * 2 * per:i * 2 * per + 2 * (hi - lo)])
+    g = np.concatenate(parts, axis=0)
+    kwargs = {
+        f.name: g[:, j].astype(np.asarray(getattr(res, f.name)).dtype)
+        for j, f in enumerate(fields)
+    }
+    return type(res)(**kwargs)
+
+
+def barrier(name: str = "aft_barrier"):
+    """Cross-process sync point (e.g. before single-writer aggregation)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

@@ -107,11 +107,23 @@ class FusionPipeline:
         score_fn=None,
         homo_genes: Optional[List[str]] = None,
     ) -> GeneCallResult:
-        # 1. anchor alignment (dp-sharded over the mesh when present)
+        # 1. anchor alignment (dp-sharded over the mesh when present; under a
+        # multi-controller runtime each host aligns its host_shard pair slice
+        # and the per-read records are allgathered — SURVEY §2.3 items 1/4)
         t0 = time.time()
         seqs = reads.seq.reshape(reads.n_pairs * 2, reads.max_len)
-        res = align_to_reference(seqs, anchor_codes, self.cfg.align,
-                                 chunk=self.cfg.read_batch, mesh=self.mesh)
+        import jax
+        if jax.process_count() > 1 and self.mesh is None:
+            from anchored_fusion_tpu.parallel.distributed import (
+                host_shard, allgather_alignment)
+            sl = host_shard(reads.n_pairs)
+            res_l = align_to_reference(seqs[2 * sl.start:2 * sl.stop],
+                                       anchor_codes, self.cfg.align,
+                                       chunk=self.cfg.read_batch)
+            res = allgather_alignment(res_l, reads.n_pairs)
+        else:
+            res = align_to_reference(seqs, anchor_codes, self.cfg.align,
+                                     chunk=self.cfg.read_batch, mesh=self.mesh)
         return self._call_stages(gene_name, anchor_codes, reads, res,
                                  out_prefix, scores, score_fn, homo_genes,
                                  t0=t0, align_s=time.time() - t0)

@@ -88,3 +88,103 @@ def test_two_process_distributed_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"proc{pid} OK 55" in out, out
+
+
+def _write_bulk_inputs(tmp_path):
+    """Synthetic genome + engineered fusion as on-disk CLI inputs."""
+    import numpy as np
+    from anchored_fusion_tpu.bench.simulate import (
+        make_synthetic_genome, fuse_transcripts, simulate_pairs, write_gtf,
+        write_fasta, write_fastq_pair)
+
+    rng = np.random.default_rng(11)
+    sg = make_synthetic_genome(rng, n_genes=6, exons_per_gene=(3, 5),
+                               exon_len=(250, 400))
+    plus = [g for g in sg.genes.values() if g.strand == "+"]
+    anchor, partner = plus[0], plus[1]
+    tx_a = anchor.transcript(sg.genome)
+    break5 = sum(e - s + 1 for s, e in anchor.exons[:2]) - 100
+    fusion = fuse_transcripts(tx_a, partner.transcript(sg.genome), break5, 60)
+    names, r1, r2 = [], [], []
+    for tx, n, pre in ((fusion, 120, "FUS"), (tx_a, 60, "WTA")):
+        nm, a, b = simulate_pairs(rng, tx, n, name_prefix=pre)
+        names, r1, r2 = names + nm, r1 + a, r2 + b
+    gtf = str(tmp_path / "ann.gtf")
+    gfa = str(tmp_path / "genome.fa")
+    afa = str(tmp_path / "anchor.fa")
+    fq1 = str(tmp_path / "reads_1.fastq")
+    fq2 = str(tmp_path / "reads_2.fastq")
+    gnames = str(tmp_path / "gene_names.txt")
+    # synthetic names contain 'GENE', which the header heuristic drops
+    # (Anchored_Fusion.py:58-73 parity) — name the target explicitly
+    with open(gnames, "w") as fh:
+        fh.write(anchor.name + "\n")
+    write_gtf(sg, gtf)
+    write_fasta({"chr1": sg.genome.fetch_str("chr1", 1, sg.genome.total_length)},
+                gfa)
+    write_fasta({anchor.name: tx_a}, afa)
+    write_fastq_pair(fq1, fq2, names, r1, r2)
+    exp = f"{anchor.name}--{partner.name}"
+    return (gfa, gtf, afa, fq1, fq2, gnames), anchor.name, exp
+
+
+def _bulk_cli_args(inputs, out):
+    gfa, gtf, afa, fq1, fq2, gnames = inputs
+    return ["-m", "anchored_fusion_tpu.cli.bulk",
+            "--file_anchored_cds", afa, "--fastq1", fq1, "--fastq2", fq2,
+            "--file_ref_seq", gfa, "--file_ref_ann", gtf,
+            "--gene_names", gnames,
+            "--out_folder", out, "--not_filter_false_positive"]
+
+
+@pytest.mark.slow
+def test_two_process_bulk_cli_matches_single(tmp_path):
+    """A cluster-launched bulk run (2 jax.distributed processes, stage-1
+    anchored alignment host-sharded + allgathered) writes byte-identical
+    prediction files to the single-process run on the same input
+    (SURVEY §2.3 items 1/4; VERDICT r2 missing #2)."""
+    inputs, gene, expected = _write_bulk_inputs(tmp_path)
+    env_base = {k: v for k, v in os.environ.items()
+                if not k.startswith(("JAX_", "AFT_", "XLA_"))}
+    env_base["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    env_base["JAX_PLATFORMS"] = "cpu"
+
+    out_s = str(tmp_path / "single")
+    p = subprocess.run([sys.executable] + _bulk_cli_args(
+        inputs, out_s), env=env_base,
+        capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stdout + p.stderr
+
+    out_m = str(tmp_path / "multi")
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        procs.append(subprocess.Popen(
+            [sys.executable] + _bulk_cli_args(inputs, out_m)
+            + ["--coordinator", f"127.0.0.1:{port}",
+               "--num_procs", "2", "--proc_id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+
+    rel = f"{gene}_fusion/{gene}_fusion_predictions.txt"
+    single = open(os.path.join(out_s, rel)).read()
+    multi = open(os.path.join(out_m, rel)).read()
+    assert expected in single
+    assert multi == single
+    rel_a = rel.replace(".txt", "_abridged.txt")
+    assert (open(os.path.join(out_m, rel_a)).read()
+            == open(os.path.join(out_s, rel_a)).read())
+    # process 0 (the writer) prints the called rows
+    assert expected in outs[0], outs[0]
