@@ -97,9 +97,11 @@ class GenomeAligner:
                 "range); use parallel.sharded_genome.ShardedGenomeAligner "
                 "with n_shards >= 2")
         self.k = kmer or self.cfg.genome_kmer
-        self.stride = stride or max(1, self.k // 2)
+        self.index_stride = getattr(self.cfg, "index_stride", 1)
+        self.stride = stride or self.cfg.resolved_query_stride()
         self.codes = jnp.asarray(reference.seq)
-        self.index = KmerIndex.build(reference.seq, self.k)
+        self.index = KmerIndex.build(reference.seq, self.k,
+                                     stride=self.index_stride)
 
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_identity: float = 0.0, min_seg_len: Optional[int] = None,

@@ -58,6 +58,23 @@ class AlignConfig:
     # seeds with more hits carry little placement information anyway — bwa
     # skips high-occurrence seeds entirely.
     max_hits_per_kmer: int = 16
+    # Genome index build-side sampling stride (BLAT tiles its target at
+    # stepSize=tileSize; bwa samples its suffix array 1/32).  1 = index every
+    # position (default, maximal sensitivity).  s>1 shrinks the sorted index
+    # s-fold — the enabler for hg38-scale single-chip residency — and the
+    # READ side then samples densely (genome_query_stride auto-drops to 1),
+    # which tightens the guaranteed-seed window to k+s-1 bp (vs k+q-1 for the
+    # dense-index/strided-query default).
+    index_stride: int = 1
+    # Read-side k-mer sampling stride for genome seeding.  0 = auto:
+    # k//2 when the index is dense (index_stride=1), else 1 (dense queries
+    # against a sparse index — every genome k-mer hit is still reachable).
+    genome_query_stride: int = 0
+
+    def resolved_query_stride(self) -> int:
+        if self.genome_query_stride:
+            return self.genome_query_stride
+        return max(1, self.genome_kmer // 2) if self.index_stride == 1 else 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,8 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_kmers_host(codes: np.ndarray, k: int) -> np.ndarray:
-    """Base-4 keys of all k-windows; -1 where the window contains non-ACGT.
+def pack_kmers_host(codes: np.ndarray, k: int, stride: int = 1) -> np.ndarray:
+    """Base-4 keys of every ``stride``-th k-window; -1 where the window
+    contains non-ACGT.  Window i covers genome position ``i * stride``.
 
     int32 keys (k <= 15): half the sort and device-lookup traffic of int64.
     """
@@ -49,10 +50,11 @@ def pack_kmers_host(codes: np.ndarray, k: int) -> np.ndarray:
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, np.int32)
-    keys = np.zeros(n, dtype=np.int32)
-    bad = np.zeros(n, dtype=bool)
+    m = -(-n // stride)
+    keys = np.zeros(m, dtype=np.int32)
+    bad = np.zeros(m, dtype=bool)
     for j in range(k):
-        c = codes[j:j + n]
+        c = codes[j:j + n:stride]
         keys = keys * 4 + np.where(c < 4, c, 0).astype(np.int32)
         bad |= c >= 4
     return np.where(bad, np.int32(-1), keys)
@@ -86,9 +88,10 @@ class KmerIndex:
 
     @classmethod
     def build(cls, codes: np.ndarray, k: int, shard_offset: int = 0,
-              bucket_bases: Optional[int] = None) -> "KmerIndex":
+              bucket_bases: Optional[int] = None,
+              stride: int = 1) -> "KmerIndex":
         kv, pos, table, kb = build_index_arrays(
-            np.asarray(codes), k, bucket_bases)
+            np.asarray(codes), k, bucket_bases, stride=stride)
         return cls(
             k=k,
             kb=kb,
@@ -101,11 +104,14 @@ class KmerIndex:
 
 
 def build_index_arrays(codes: np.ndarray, k: int,
-                       bucket_bases: Optional[int] = None):
-    """Host-side build: (keys_sorted i32, pos_sorted i32, table i32, kb)."""
-    keys = pack_kmers_host(codes, k)
+                       bucket_bases: Optional[int] = None, stride: int = 1):
+    """Host-side build: (keys_sorted i32, pos_sorted i32, table i32, kb).
+
+    ``stride`` samples every stride-th genome window (sparse BLAT-style
+    tiling); positions stay true genome coordinates."""
+    keys = pack_kmers_host(codes, k, stride)
     valid = keys >= 0
-    pos = np.nonzero(valid)[0].astype(np.int32)
+    pos = (np.nonzero(valid)[0] * stride).astype(np.int32)
     kv = keys[valid]
     order = np.argsort(kv, kind="stable")     # radix sort on int32
     kv = kv[order]

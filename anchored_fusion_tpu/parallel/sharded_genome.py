@@ -37,14 +37,15 @@ from anchored_fusion_tpu.align.aligner import (
     stack_multi, unstack_multi, _flatten_multi)
 
 
-def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
+def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int,
+                        stride: int = 1):
     """Split the genome into equal slices (+halo) and index each slice.
 
     All shards share one bucket-prefix width ``kb`` (sized for the largest
     shard) so the per-shard tables stack into one (S, 4^kb+1) array."""
     L = len(codes)
     per = -(-L // n_shards)
-    kb = bucket_bits_for(per + overlap, k)
+    kb = bucket_bits_for((per + overlap) // stride, k)
     keys_list, pos_list, tbl_list, seq_list, offsets = [], [], [], [], []
     max_m = 0
     max_s = 0
@@ -52,7 +53,8 @@ def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int):
         lo = s * per
         hi = min(L, (s + 1) * per + overlap)
         sl = codes[lo:hi]
-        kv, pos, table, _ = build_index_arrays(sl, k, bucket_bases=kb)
+        kv, pos, table, _ = build_index_arrays(sl, k, bucket_bases=kb,
+                                               stride=stride)
         keys_list.append(kv)
         pos_list.append(pos)
         tbl_list.append(table)
@@ -154,14 +156,18 @@ class ShardedGenomeAligner:
 
     def __init__(self, reference: Reference, n_shards: int,
                  cfg: Optional[AlignConfig] = None, overlap: int = 512,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, prebuilt=None):
         self.cfg = cfg or AlignConfig()
         self.reference = reference
         self.n_shards = n_shards
         self.k = self.cfg.genome_kmer
-        self.stride = max(1, self.k // 2)
-        keys, pos, tbl, seq, offs, kb = _build_shard_arrays(
-            np.asarray(reference.seq), n_shards, self.k, overlap)
+        self.index_stride = getattr(self.cfg, "index_stride", 1)
+        self.stride = self.cfg.resolved_query_stride()
+        # ``prebuilt`` lets benchmark harnesses time the host index build
+        # (_build_shard_arrays) separately from device placement
+        keys, pos, tbl, seq, offs, kb = prebuilt or _build_shard_arrays(
+            np.asarray(reference.seq), n_shards, self.k, overlap,
+            stride=self.index_stride)
         self.kb = kb
         self.mesh = mesh
         # shard offsets stay on HOST as int64: folding local->global on

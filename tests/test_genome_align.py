@@ -161,3 +161,57 @@ def test_genome_aligner_rejects_int32_overflow_genomes():
                   seq=np.zeros(16, np.int8))
     with pytest.raises(ValueError, match="ShardedGenomeAligner"):
         GenomeAligner(ref)
+
+
+def test_strided_index_positions_and_recall():
+    """Sparse (BLAT-style) index build: positions are true genome coords at
+    stride multiples; a dense read-side query (auto stride 1) keeps exact
+    placement for clean reads — the hg38-scale residency mode."""
+    import dataclasses
+    from anchored_fusion_tpu.config import AlignConfig
+    from anchored_fusion_tpu.index.kmer import build_index_arrays
+
+    rng = np.random.default_rng(7)
+    seq = random_seq(rng, 20_000)
+    ref = reference_from_dict({"c": seq})
+    kv, pos, table, kb = build_index_arrays(ref.seq, 13, stride=4)
+    # every stored position is a stride multiple and its key re-packs exactly
+    assert (pos % 4 == 0).all()
+    dense_kv, dense_pos, _, _ = build_index_arrays(ref.seq, 13)
+    lut = dict(zip(dense_pos.tolist(), dense_kv.tolist()))
+    for p, k in zip(pos[:100].tolist(), kv[:100].tolist()):
+        assert lut[p] == k
+
+    cfg = AlignConfig(index_stride=4)
+    assert cfg.resolved_query_stride() == 1
+    ga = GenomeAligner(ref, cfg=cfg)
+    assert ga.index_stride == 4 and ga.stride == 1
+    fwd = encode_ascii(seq[5_000:5_101], length=128)
+    rc = encode_ascii(
+        decode_to_str(revcomp(encode_ascii(seq[9_001:9_102]))), length=128)
+    res = ga.align(np.stack([fwd, rc]))
+    assert res.mapped.all()
+    assert res.ref_start[0] == 5_000 and res.ref_end[0] == 5_100
+    assert res.ref_start[1] == 9_001 and res.ref_end[1] == 9_101
+
+
+def test_strided_sharded_matches_flat():
+    """ShardedGenomeAligner honors index_stride and stays coordinate-exact."""
+    from anchored_fusion_tpu.config import AlignConfig
+    from anchored_fusion_tpu.parallel.sharded_genome import ShardedGenomeAligner
+
+    rng = np.random.default_rng(8)
+    seq = random_seq(rng, 30_000)
+    ref = reference_from_dict({"c": seq})
+    cfg = AlignConfig(index_stride=3)
+    flat = GenomeAligner(ref, cfg=cfg)
+    shard = ShardedGenomeAligner(ref, n_shards=3, cfg=cfg)
+    assert shard.index_stride == 3 and shard.stride == 1
+    reads = np.stack([
+        encode_ascii(seq[o:o + 101], length=128)
+        for o in (1_000, 12_345, 22_222, 29_800)])
+    r1 = flat.align(reads)
+    r2 = shard.align(reads)
+    assert (np.asarray(r1.mapped)[:3]).all()
+    np.testing.assert_array_equal(r1.ref_start[:3], r2.ref_start[:3])
+    np.testing.assert_array_equal(r1.ref_end[:3], r2.ref_end[:3])
