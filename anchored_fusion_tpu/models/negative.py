@@ -56,26 +56,24 @@ def mine_negative_junctions(
     clip_slack: int = 5,
     min_locus_distance: int = 10_000,
     window: int = 100,
-    max_rows: int = 20_000,
+    max_rows: int = 0,
+    chunk_reads: int = 65_536,
+    pair_depth: int = 6,
 ) -> List[str]:
-    """Mine 201-char negative junction rows from a read batch."""
+    """Mine 201-char negative junction rows from a read batch.
+
+    Streams the sample in ``chunk_reads``-read chunks (constant host/device
+    memory at whole-sample scale — the reference sweeps the full genome BAM,
+    functions.py:1425-1441, so must we).  ``max_rows`` bounds the output
+    (0 = unlimited, the default — full-sweep parity).  ``pair_depth`` is the
+    per-read multi-hit depth: the partner of the best hit is the
+    highest-scoring OTHER hit with the complementary clip pattern (the role
+    of bwa's primary + SA:Z supplementary pair), not merely the second-best.
+    """
     homo_map = homo_map or {}
     targets = {g.upper() for g in gene_names}
-    hits = genome_aligner.align_multi(seqs, min_score=20, min_seg_len=20,
-                                      top_k=4)
-    # hit->read grouping and top-2 selection fully vectorized: a real sample
-    # produces millions of multi-hits (the reference mines SA:Z tags from a
-    # whole-genome bwa pass, functions.py:1438-1441) and a python dict sweep
-    # over them was the mining stage's scale ceiling
-    rid_arr = np.asarray(hits.read_id)
-    order = np.lexsort((-np.asarray(hits.score), rid_arr))
-    rid_sorted = rid_arr[order]
-    uniq_rids, first = np.unique(rid_sorted, return_index=True)
-    counts = np.diff(np.append(first, len(rid_sorted)))
-    multi = counts >= 2
-    top1 = order[first[multi]]
-    top2 = order[first[multi] + 1]
-    read_lens = (np.asarray(seqs) != 5).sum(axis=1)
+    seqs = np.asarray(seqs)
+    N = seqs.shape[0]
 
     rows: List[str] = []
     last_genes: Set[str] = set()
@@ -83,77 +81,113 @@ def mine_negative_junctions(
     y_last: List[str] = []
     lengths: Dict[int, int] = {}
     picked: List[Tuple] = []
-    for rid, X, Y in zip(uniq_rids[multi], top1, top2):
-        rid = int(rid)
-        L = int(read_lens[rid])
-        X, Y = int(X), int(Y)
-        # forward-frame query intervals
-        xs, xe = int(hits.q_start[X]), int(hits.q_end[X]) + 1
-        ys, ye = int(hits.q_start[Y]), int(hits.q_end[Y]) + 1
-        # patterns: prefix hit (M+S) or suffix hit (S+M); interior hits fail
-        def pattern(s, e):
-            if s <= clip_slack and e < L - clip_slack:
-                return "MS"
-            if s > clip_slack and e >= L - clip_slack:
-                return "SM"
-            return None
-        px, py = pattern(xs, xe), pattern(ys, ye)
-        if px is None or py is None or px == py:
-            continue
-        l_X_M, l_Y_M = xe - xs, ye - ys
-        l_Y_S = L - l_Y_M
-        if abs(l_X_M - l_Y_S) > clip_slack:
-            continue
-        lengths[L] = lengths.get(L, 0) + 1
-        x_chrom, x_pos1 = genome.to_local(int(hits.ref_start[X]))
-        y_chrom, y_pos1 = genome.to_local(int(hits.ref_start[Y]))
-        if x_chrom == y_chrom and abs(x_pos1 - y_pos1) < min_locus_distance:
-            continue
-        x_gene, _ = index.find_exon(x_chrom, x_pos1, x_pos1 + 1)
-        y_gene, _ = index.find_exon(y_chrom, y_pos1, y_pos1 + 1)
-        xn, yn = x_gene[1], y_gene[1]
-        if xn.upper() in targets or yn.upper() in targets:
-            continue
-        if (xn == "" or yn == "" or xn == yn or _inspect_name(xn, yn)
-                or yn in homo_map.get(xn, ())):
-            continue
-        if (xn == x_last and yn in y_last) or (xn in y_last and yn == x_last):
-            continue
-        pair, rpair = f"{xn}--{yn}", f"{yn}--{xn}"
-        if pair in last_genes or rpair in last_genes:
-            continue
-        last_genes.add(pair)
-        if xn == x_last:
-            y_last.append(yn)
-        elif yn == x_last:
-            y_last.append(xn)
-        else:
-            x_last, y_last = xn, [yn]
-        # junction coordinates, strand-normalized (functions.py:1491-1514)
-        x_strand = "+" if hits.strand[X] == 0 else "-"
-        y_strand = "+" if hits.strand[Y] == 0 else "-"
-        y_plus = max(0, l_X_M - l_Y_S)
-        x_left, x_right = x_pos1, x_pos1 + l_X_M
-        y_left, y_right = y_pos1, y_pos1 + l_Y_M
-        if px == "MS":
-            g1 = (xn, x_chrom, x_right, x_strand)
-            if y_strand == "+":
-                g2 = (yn, y_chrom, y_left + y_plus, y_strand)
-            else:
-                g2 = (yn, y_chrom, y_right - y_plus, y_strand)
-            if x_strand == "-":
-                g1, g2 = g2, g1
-        else:  # px == 'SM'
-            g2 = (xn, x_chrom, x_left, x_strand)
-            if y_strand == "+":
-                g1 = (yn, y_chrom, y_right - y_plus, y_strand)
-            else:
-                g1 = (yn, y_chrom, y_left, y_strand)
-            if x_strand == "-":
-                g1, g2 = g2, g1
-        picked.append((rid, g1, g2))
-        if len(picked) >= max_rows:
+    # per-hit (rid, matches, length) triples for the global linear-genome
+    # rejection pass (small: 12 B/hit vs the full MultiHits record)
+    lin_parts: List[np.ndarray] = []
+    capped = False
+    for chunk_lo in range(0, N, chunk_reads):
+        if capped:
             break
+        sub = seqs[chunk_lo:chunk_lo + chunk_reads]
+        hits = genome_aligner.align_multi(sub, min_score=20, min_seg_len=20,
+                                          top_k=pair_depth)
+        rid_arr = np.asarray(hits.read_id)
+        lin_parts.append(np.stack([
+            rid_arr + chunk_lo, np.asarray(hits.matches),
+            np.asarray(hits.length)], axis=1).astype(np.int64))
+        # hit->read grouping vectorized: a real sample produces millions of
+        # multi-hits and a python dict sweep over them was the mining stage's
+        # scale ceiling
+        order = np.lexsort((-np.asarray(hits.score), rid_arr))
+        rid_sorted = rid_arr[order]
+        uniq_rids, first = np.unique(rid_sorted, return_index=True)
+        counts = np.diff(np.append(first, len(rid_sorted)))
+        read_lens = (sub != 5).sum(axis=1)
+        for ui in np.nonzero(counts >= 2)[0]:
+            lrid = int(uniq_rids[ui])
+            rid = chunk_lo + lrid
+            L = int(read_lens[lrid])
+            own = order[first[ui]:first[ui] + counts[ui]]  # score-sorted
+
+            # patterns: prefix hit (M+S) or suffix hit (S+M); interior fail
+            def pattern(h):
+                s, e = int(hits.q_start[h]), int(hits.q_end[h]) + 1
+                if s <= clip_slack and e < L - clip_slack:
+                    return "MS"
+                if s > clip_slack and e >= L - clip_slack:
+                    return "SM"
+                return None
+            X = int(own[0])
+            px = pattern(X)
+            if px is None:
+                continue
+            Y = py = None
+            for cand in own[1:]:
+                pc = pattern(int(cand))
+                if pc is not None and pc != px:
+                    Y, py = int(cand), pc
+                    break
+            if Y is None:
+                continue
+            xs, xe = int(hits.q_start[X]), int(hits.q_end[X]) + 1
+            ys, ye = int(hits.q_start[Y]), int(hits.q_end[Y]) + 1
+            l_X_M, l_Y_M = xe - xs, ye - ys
+            l_Y_S = L - l_Y_M
+            if abs(l_X_M - l_Y_S) > clip_slack:
+                continue
+            lengths[L] = lengths.get(L, 0) + 1
+            x_chrom, x_pos1 = genome.to_local(int(hits.ref_start[X]))
+            y_chrom, y_pos1 = genome.to_local(int(hits.ref_start[Y]))
+            if (x_chrom == y_chrom
+                    and abs(x_pos1 - y_pos1) < min_locus_distance):
+                continue
+            x_gene, _ = index.find_exon(x_chrom, x_pos1, x_pos1 + 1)
+            y_gene, _ = index.find_exon(y_chrom, y_pos1, y_pos1 + 1)
+            xn, yn = x_gene[1], y_gene[1]
+            if xn.upper() in targets or yn.upper() in targets:
+                continue
+            if (xn == "" or yn == "" or xn == yn or _inspect_name(xn, yn)
+                    or yn in homo_map.get(xn, ())):
+                continue
+            if ((xn == x_last and yn in y_last)
+                    or (xn in y_last and yn == x_last)):
+                continue
+            pair, rpair = f"{xn}--{yn}", f"{yn}--{xn}"
+            if pair in last_genes or rpair in last_genes:
+                continue
+            last_genes.add(pair)
+            if xn == x_last:
+                y_last.append(yn)
+            elif yn == x_last:
+                y_last.append(xn)
+            else:
+                x_last, y_last = xn, [yn]
+            # junction coordinates, strand-normalized (functions.py:1491-1514)
+            x_strand = "+" if hits.strand[X] == 0 else "-"
+            y_strand = "+" if hits.strand[Y] == 0 else "-"
+            y_plus = max(0, l_X_M - l_Y_S)
+            x_left, x_right = x_pos1, x_pos1 + l_X_M
+            y_left, y_right = y_pos1, y_pos1 + l_Y_M
+            if px == "MS":
+                g1 = (xn, x_chrom, x_right, x_strand)
+                if y_strand == "+":
+                    g2 = (yn, y_chrom, y_left + y_plus, y_strand)
+                else:
+                    g2 = (yn, y_chrom, y_right - y_plus, y_strand)
+                if x_strand == "-":
+                    g1, g2 = g2, g1
+            else:  # px == 'SM'
+                g2 = (xn, x_chrom, x_left, x_strand)
+                if y_strand == "+":
+                    g1 = (yn, y_chrom, y_right - y_plus, y_strand)
+                else:
+                    g1 = (yn, y_chrom, y_left, y_strand)
+                if x_strand == "-":
+                    g1, g2 = g2, g1
+            picked.append((rid, g1, g2))
+            if max_rows and len(picked) >= max_rows:
+                capped = True
+                break
 
     # linear-genome rejection: any read with a near-full-length high-identity
     # hit is not a chimera (blat -minScore=0.8*modal_len -minIdentity=90
@@ -163,9 +197,10 @@ def mine_negative_junctions(
     modal = max(lengths, key=lengths.get) if lengths else 101
     min_match = int(modal * 0.8)
     min_ident = NEGATIVE_LINEARITY_PRESET.min_identity
-    m_arr = np.asarray(hits.matches)
-    linear = (m_arr >= min_match) & (m_arr >= min_ident * np.asarray(hits.length))
-    bad: Set[int] = set(np.unique(rid_arr[linear]).tolist())
+    lin = (np.concatenate(lin_parts, axis=0) if lin_parts
+           else np.zeros((0, 3), np.int64))
+    linear = (lin[:, 1] >= min_match) & (lin[:, 1] >= min_ident * lin[:, 2])
+    bad: Set[int] = set(np.unique(lin[:, 0][linear]).tolist())
     for rid, g1, g2 in picked:
         if rid in bad:
             continue
