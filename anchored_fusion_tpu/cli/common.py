@@ -160,6 +160,11 @@ def setup_filter(args, pipe: FusionPipeline, index: ExonIndex,
     cfg = pipe.cfg.filter_model
     if args.not_train_filter_model:
         if os.path.exists(args.model_file):
+            if args.model_file.endswith((".pt", ".pth")):
+                # reference-format torch checkpoint (Model.py:314-333)
+                from anchored_fusion_tpu.models.torch_import import (
+                    load_torch_checkpoint)
+                return load_torch_checkpoint(args.model_file, cfg, cfg.len_seq)
             return TrainedFilter.load(args.model_file, cfg, cfg.len_seq)
         print("Error: model file not found!, not performing filter false positives.")
         return None
