@@ -55,10 +55,16 @@ class ConsensusPWM:
     l_right: int = 0
     cnt: int = 0
     reads: List[str] = dataclasses.field(default_factory=list)
+    # decoded-consensus cache: the phase-2 greedy merge revisits clusters
+    # O(window) times and each argmax+join decode costs ~1ms (27s over a
+    # 27k-cluster sample); invalidated whenever votes change
+    _cl: object = dataclasses.field(default=None, repr=False, compare=False)
+    _cr: object = dataclasses.field(default=None, repr=False, compare=False)
 
     def add(self, seq_left: str, seq_right: str, n: int, reads: List[str], index: int):
         """Accumulate a flank pair, shifted by ``index`` (Co_Split_reads.Add_reads
         parity, functions.py:173-199)."""
+        self._cl = self._cr = None
         if index >= 0:
             seq_left = seq_left + seq_right[:index]
             seq_right = seq_right[index:]
@@ -86,10 +92,14 @@ class ConsensusPWM:
         return "".join("N" if t > 1 else _DECODE[a] for t, a in zip(ties, arg))
 
     def left_consensus(self) -> str:
-        return self._consensus(MID - self.l_left, MID)
+        if self._cl is None:
+            self._cl = self._consensus(MID - self.l_left, MID)
+        return self._cl
 
     def right_consensus(self) -> str:
-        return self._consensus(MID, MID + self.l_right)
+        if self._cr is None:
+            self._cr = self._consensus(MID, MID + self.l_right)
+        return self._cr
 
 
 def _similar_shifted(l1: str, r1: str, l2: str, r2: str,
@@ -174,8 +184,13 @@ def pwm_votes_device(rows: np.ndarray, weights: np.ndarray,
         # the row axis is dp-sharded: pad to a multiple the dp size divides
         # (a bare 64 crashes device_put for dp sizes like 3 or 5)
         mult = math.lcm(64, mesh.shape[mesh.axis_names[0]])
-    Mp = max(mult, -(-M // mult) * mult)
-    Gp = max(8, -(-n_groups // 8) * 8)
+    # power-of-2 shape buckets: every novel (Mp, Gp) pair is a fresh ~60s
+    # remote-toolchain compile, and real samples produce arbitrary cluster
+    # counts — pow2 bucketing bounds the compiled-program set logarithmically
+    # at <=2x padded compute (the padded rows vote 0 into the last slot)
+    _p2 = lambda v: 1 << max(0, (int(v) - 1).bit_length())
+    Mp = max(mult, -(-_p2(M) // mult) * mult)
+    Gp = max(8, _p2(n_groups))
     rp = np.full((Mp, WIDTH), -1, np.int8)
     rp[:M] = rows
     wp = np.zeros(Mp, np.int32)

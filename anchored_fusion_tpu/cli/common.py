@@ -70,6 +70,22 @@ def init_cluster(args) -> bool:
     return initialize(args.coordinator, args.num_procs, args.proc_id)
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache for the CLI drivers.
+
+    First compiles go through the remote TPU toolchain at ~30-300s per novel
+    shape on this platform; the disk cache turns re-runs into millisecond
+    loads.  AFT_COMP_CACHE overrides the location; empty string disables."""
+    import os as _os
+    path = _os.environ.get("AFT_COMP_CACHE",
+                           _os.path.expanduser("~/.cache/jax_comp"))
+    if not path:
+        return
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def resolve_gene_names(args) -> List[str]:
     if args.gene_names and os.path.exists(args.gene_names):
         with open(args.gene_names) as fh:

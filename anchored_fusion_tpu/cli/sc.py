@@ -62,6 +62,7 @@ def main(argv=None) -> int:
     from anchored_fusion_tpu.utils.debug import maybe_enable_from_env
     maybe_enable_from_env()
     args = build_parser().parse_args(argv)
+    common.enable_compilation_cache()
     multi = common.init_cluster(args)
     proc0 = True
     log = StageLogger("singlecell")
