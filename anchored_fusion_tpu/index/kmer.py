@@ -51,13 +51,18 @@ def pack_kmers_host(codes: np.ndarray, k: int, stride: int = 1) -> np.ndarray:
     if n <= 0:
         return np.zeros(0, np.int32)
     m = -(-n // stride)
+    # hoist the N-masking and int32 cast out of the k-loop: one pass over the
+    # genome instead of k (the build-time hot loop at hg38 scale)
+    cc = np.where(codes < 4, codes, 0).astype(np.int32)
+    badc = codes >= 4
     keys = np.zeros(m, dtype=np.int32)
     bad = np.zeros(m, dtype=bool)
     for j in range(k):
-        c = codes[j:j + n:stride]
-        keys = keys * 4 + np.where(c < 4, c, 0).astype(np.int32)
-        bad |= c >= 4
-    return np.where(bad, np.int32(-1), keys)
+        keys *= 4
+        keys += cc[j:j + n:stride]
+        bad |= badc[j:j + n:stride]
+    keys[bad] = -1
+    return keys
 
 
 def bucket_bits_for(n_kmers: int, k: int) -> int:
@@ -117,11 +122,51 @@ def build_index_arrays(codes: np.ndarray, k: int,
     kv = kv[order]
     pos = pos[order]
     kb = bucket_bases or bucket_bits_for(len(kv), k)
-    buckets = (kv >> np.int32(2 * (k - kb))).astype(np.int64)
+    buckets = kv if kb == k else (kv >> np.int32(2 * (k - kb)))
     cnt = np.bincount(buckets, minlength=(1 << (2 * kb)))
     table = np.zeros((1 << (2 * kb)) + 1, np.int32)
-    np.cumsum(cnt, out=table[1:])
+    # int32 accumulation straight into the table view: a dtype-mismatched
+    # cumsum falls back to a buffered elementwise cast (~60x slower at 4^13)
+    np.cumsum(cnt, dtype=np.int32, out=table[1:])
     return kv, pos, table, kb
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kb", "stride"))
+def build_shard_index_device(codes: jax.Array, k: int, kb: int,
+                             stride: int = 1):
+    """Device-side shard index build: (keys_or_none, pos_sorted, table).
+
+    The host build (numpy stable argsort) runs at ~2.5M keys/s on this
+    machine; the TPU sorts at ~300M/s, so hg38-scale builds go on device:
+    pack keys with k static strided slices, push N-containing windows to a
+    sentinel that sorts past every real bucket, stable-argsort, and derive
+    the bucket table with one sort-method searchsorted.  Invalid windows
+    stay in the arrays (fixed shapes) but no table range ever reaches them.
+
+    With kb == k the table is exact and ``keys_sorted`` is never read by
+    ``lookup_hits_table``; None is returned so hg38-scale indexes skip a
+    genome-sized array entirely (host->device transfer is 83MB/s here).
+    """
+    L = codes.shape[0]
+    n = L - k + 1
+    m = -(-n // stride)
+    cc = jnp.where(codes < 4, codes, 0).astype(jnp.int32)
+    badc = codes >= 4
+    keys = jnp.zeros((m,), jnp.int32)
+    bad = jnp.zeros((m,), bool)
+    for j in range(k):
+        keys = keys * 4 + jax.lax.slice(cc, (j,), (j + n,), (stride,))
+        bad = bad | jax.lax.slice(badc, (j,), (j + n,), (stride,))
+    sentinel = jnp.int32(np.iinfo(np.int32).max)
+    keys = jnp.where(bad, sentinel, keys)
+    order = jnp.argsort(keys, stable=True)
+    pos_sorted = (order * stride).astype(jnp.int32)
+    keys_sorted = jnp.sort(keys, stable=True)
+    starts = (jnp.arange((1 << (2 * kb)) + 1, dtype=jnp.int32)
+              << (2 * (k - kb)))
+    table = jnp.searchsorted(keys_sorted, starts, side="left",
+                             method="sort").astype(jnp.int32)
+    return (None if kb == k else keys_sorted), pos_sorted, table
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
