@@ -78,6 +78,13 @@ _SEED_CACHE: dict = {}
 # many chunks a multi-million-read batch splits into.
 _INFLIGHT_CHUNKS = 4
 
+# Genome-scale references are stored prepadded with this many PAD codes on
+# each side so diagonal extension can slice windows directly instead of
+# materializing a PAD-guarded copy of the whole genome per dispatch (which
+# costs L bytes of HBM + bandwidth per chunk — the 3Gbp OOM).  Must be >= the
+# widest query batch (junction consensus batches reach 512).
+REF_PREPAD = 768
+
 
 def _ref_digest(ref_codes: np.ndarray) -> bytes:
     import hashlib
@@ -145,13 +152,20 @@ def build_window_matrix(ref_codes: np.ndarray, read_len: int) -> jax.Array:
 
 def extend_diagonals_all(flat: jax.Array, ref: jax.Array, offs: jax.Array,
                          match: int, mismatch: int,
-                         win_matrix: Optional[jax.Array] = None):
+                         win_matrix: Optional[jax.Array] = None,
+                         ref_prepad: int = 0):
     """Kadane extension of every candidate diagonal (multi-hit, BLAT-like).
 
     Args:
       flat: (N, R) oriented reads.
-      ref:  (L,) reference codes.
-      offs: (N, k) candidate ref offsets of read position 0 per read.
+      ref:  (L,) reference codes; with ``ref_prepad=P`` > 0 it is already
+        ``[PAD*P, genome, PAD*P]`` (built once at index time).  Without it a
+        PAD-guarded copy of the WHOLE reference is materialized per dispatch
+        — at hg38 scale that is gigabytes of HBM traffic and the allocation
+        that OOMed the 3Gbp sharded run, so every genome-sized caller passes
+        a prepadded reference.
+      offs: (N, k) candidate ref offsets of read position 0 per read
+        (genome frame, i.e. NOT including the prepad).
       win_matrix: optional precomputed window matrix (small references).
     Returns dict of (N, k): score, start, end, matches, length — read-frame
     coordinates of each candidate's best segment.
@@ -160,6 +174,16 @@ def extend_diagonals_all(flat: jax.Array, ref: jax.Array, offs: jax.Array,
     L = ref.shape[0]
     if win_matrix is not None:
         win = win_matrix[jnp.clip(offs + R, 0, win_matrix.shape[0] - 1)]
+    elif ref_prepad:
+        # prepadded reference: window for offset o covers genome [o, o+R) =
+        # ref[o+P : o+P+R].  R <= P keeps every clipped slice inside PAD
+        # (same all-PAD windows the unpadded path produced), so results are
+        # bit-identical to the concatenate path without the genome-sized copy.
+        if R > ref_prepad:
+            raise ValueError(f"read width {R} exceeds ref_prepad {ref_prepad}")
+        start = jnp.clip(offs + ref_prepad, 0, L - R).astype(jnp.int32)
+        win = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(ref, (s,), (R,))))(start)
     else:
         # Contiguous dynamic slices from a PAD-guarded reference: a
         # slice-gather (one 128-wide row per candidate) rather than an
@@ -179,7 +203,8 @@ def extend_diagonals_all(flat: jax.Array, ref: jax.Array, offs: jax.Array,
 
 def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
                      match: int, mismatch: int,
-                     win_matrix: Optional[jax.Array] = None):
+                     win_matrix: Optional[jax.Array] = None,
+                     ref_prepad: int = 0):
     """Best-hit Kadane extension (see :func:`extend_diagonals_all`).
 
     Returns dict of (N,): score, read_start/end, matches, length, off,
@@ -187,7 +212,8 @@ def extend_diagonals(flat: jax.Array, ref: jax.Array, offs: jax.Array,
     """
     N, R = flat.shape
     k = offs.shape[1]
-    seg = extend_diagonals_all(flat, ref, offs, match, mismatch, win_matrix)
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch, win_matrix,
+                               ref_prepad)
     order = jnp.argsort(-seg["score"], axis=1)
     b1 = order[:, 0]
     b2 = order[:, min(1, k - 1)]

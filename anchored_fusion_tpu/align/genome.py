@@ -52,31 +52,37 @@ def _seed_diagonals(flat, table, index_keys, index_pos, offsets,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch", "R"))
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch", "R",
+    "prepad"))
 def _genome_align_core(packed, ref, table, index_keys, index_pos, offsets,
                        k: int, kb: int, stride: int, max_hits: int,
-                       top_k: int, match: int, mismatch: int, R: int):
+                       top_k: int, match: int, mismatch: int, R: int,
+                       prepad: int):
     from anchored_fusion_tpu.ops.encode import unpack_nibbles
     reads = unpack_nibbles(packed, R)  # nibble-packed over the slow relay
     B = reads.shape[0]
     flat, coord_off = both_strands(reads)                    # (2B, R)
     offs = _seed_diagonals(flat, table, index_keys, index_pos, offsets,
                            k, kb, stride, max_hits, top_k)
-    cand = extend_diagonals(flat, ref, offs, match, mismatch)
+    cand = extend_diagonals(flat, ref, offs, match, mismatch,
+                            ref_prepad=prepad)
     return stack_result(fold_strands(cand, B, coord_off))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch", "R"))
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch", "R",
+    "prepad"))
 def _genome_align_multi_core(packed, ref, table, index_keys, index_pos, offsets,
                              k: int, kb: int, stride: int, max_hits: int,
-                             top_k: int, match: int, mismatch: int, R: int):
+                             top_k: int, match: int, mismatch: int, R: int,
+                             prepad: int):
     from anchored_fusion_tpu.ops.encode import unpack_nibbles
     reads = unpack_nibbles(packed, R)
     flat, _ = both_strands(reads)
     offs = _seed_diagonals(flat, table, index_keys, index_pos, offsets,
                            k, kb, stride, max_hits, top_k)
-    seg = extend_diagonals_all(flat, ref, offs, match, mismatch)
+    seg = extend_diagonals_all(flat, ref, offs, match, mismatch,
+                               ref_prepad=prepad)
     seg["off"] = offs
     return stack_multi(seg)
 
@@ -85,7 +91,8 @@ class GenomeAligner:
     """Holds the genome codes + k-mer index and aligns read batches."""
 
     def __init__(self, reference: Reference, cfg: Optional[AlignConfig] = None,
-                 kmer: Optional[int] = None, stride: Optional[int] = None):
+                 kmer: Optional[int] = None, stride: Optional[int] = None,
+                 device_build: Optional[bool] = None):
         self.cfg = cfg or AlignConfig()
         self.reference = reference
         if reference.total_length > 2**31 - 2**20:
@@ -99,9 +106,35 @@ class GenomeAligner:
         self.k = kmer or self.cfg.genome_kmer
         self.index_stride = getattr(self.cfg, "index_stride", 1)
         self.stride = stride or self.cfg.resolved_query_stride()
-        self.codes = jnp.asarray(reference.seq)
-        self.index = KmerIndex.build(reference.seq, self.k,
-                                     stride=self.index_stride)
+        if device_build is None:
+            # past ~200Mbp the host radix sort dominates; build on the chip
+            device_build = reference.total_length > 200_000_000
+        # codes are stored PREPADDED (REF_PREPAD each side) so extension can
+        # slice windows directly; positions in the index stay genome-frame
+        from anchored_fusion_tpu.align.aligner import REF_PREPAD
+        self.ref_prepad = REF_PREPAD
+        if device_build:
+            from anchored_fusion_tpu.index.kmer import (
+                build_shard_index_device, bucket_bits_for)
+            codes = jnp.asarray(reference.seq)
+            L = reference.total_length
+            m = -(-(L - self.k + 1) // self.index_stride)
+            kb = bucket_bits_for(m, self.k)
+            ks, ps, tb = build_shard_index_device(
+                codes, self.k, kb, self.index_stride)
+            self.index = KmerIndex(
+                k=self.k, kb=kb, table=tb,
+                keys_sorted=(ks if ks is not None
+                             else jnp.zeros(1, jnp.int32)),
+                pos_sorted=ps, ref_len=L)
+            self.codes = jnp.pad(codes, self.ref_prepad,
+                                 constant_values=PAD)
+        else:
+            self.index = KmerIndex.build(reference.seq, self.k,
+                                         stride=self.index_stride)
+            self.codes = jnp.asarray(np.pad(
+                np.asarray(reference.seq), self.ref_prepad,
+                constant_values=PAD))
 
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_identity: float = 0.0, min_seg_len: Optional[int] = None,
@@ -141,7 +174,7 @@ class GenomeAligner:
                 pack_nibbles(sub), self.codes, self.index.table,
                 self.index.keys_sorted, self.index.pos_sorted, offsets,
                 self.k, self.index.kb, self.stride, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty, R)))
+                cfg.match_score, cfg.mismatch_penalty, R, self.ref_prepad)))
             if len(pending) > _INFLIGHT_CHUNKS:
                 outs.append(_collect(*pending.pop(0)))
         outs.extend(_collect(*p) for p in pending)
@@ -201,7 +234,7 @@ class GenomeAligner:
                 pack_nibbles(sub), self.codes, self.index.table,
                 self.index.keys_sorted, self.index.pos_sorted, offsets,
                 self.k, self.index.kb, self.stride, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty, R)))
+                cfg.match_score, cfg.mismatch_penalty, R, self.ref_prepad)))
             if len(pending) > _INFLIGHT_CHUNKS:
                 parts.append(self._collect_multi(*pending.pop(0), top_k,
                                                  min_score, min_identity,

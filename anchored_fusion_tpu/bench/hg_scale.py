@@ -112,6 +112,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-refine", action="store_true",
                     help="disable the gapped-refine post-pass")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="flat-path dispatch chunk (0 = aligner default)")
     ap.add_argument("--device-build", action="store_true",
                     help="build the index on the chip (auto past 200Mbp)")
     ap.add_argument("--flat", action="store_true",
@@ -169,7 +171,8 @@ def main(argv=None) -> int:
         t_place = 0.0  # built in place on device (transfer = codes only)
         kb = ga.kb
         dev_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                        for a in (ga.keys, ga.pos, ga.tbl, ga.seq))
+                        for a in jax.tree.leaves(
+                            (ga.keys, ga.pos, ga.tbl, ga.seq)))
         log(f"device index built: {n_shards} shards, kb={kb}, "
             f"{dev_bytes/2**30:.2f} GiB HBM in {t_build:.1f}s", quiet)
     else:
@@ -194,13 +197,14 @@ def main(argv=None) -> int:
     log(f"reads sampled: {args.reads} ({int(clean.sum())} outside repeats)",
         quiet)
     sweep = {}
+    akw = {"chunk": args.chunk} if (args.chunk and args.flat) else {}
     for h in [int(x) for x in args.hits.split(",")]:
         # full untimed pass: compiles every shape INCLUDING the refine
         # buckets later batches may select (first-compile is minutes here)
         for lo in range(0, args.reads, args.batch):
-            ga.align(reads[lo:lo + args.batch], max_hits=h)
+            ga.align(reads[lo:lo + args.batch], max_hits=h, **akw)
         t0 = time.time()
-        parts = [ga.align(reads[lo:lo + args.batch], max_hits=h)
+        parts = [ga.align(reads[lo:lo + args.batch], max_hits=h, **akw)
                  for lo in range(0, args.reads, args.batch)]
         dt = time.time() - t0
         ok = np.concatenate([

@@ -9,9 +9,12 @@ full (replicated) read batch against its slice; the cross-shard reduction —
 keep the best-scoring hit per read — is a tiny elementwise ``max`` over the
 (B,) result records, placed on ICI by XLA from the shardings.
 
-Single-device fallback uses a ``vmap`` over the shard axis (identical
-numerics), so the sharded path is testable without a mesh and the mesh path
-is validated against it on the virtual CPU mesh.
+Single-device fallback loops the shards through ONE compiled rank-1 program
+(the flat aligner's shape) with a device-side stack+reduce per chunk —
+identical numerics, testable without a mesh, and the mesh path is validated
+against it on the virtual CPU mesh.  (A ``vmap`` over stacked genome-sized
+operands is NOT used: at hg38 scale the batched gather it lowers to
+compiles but never finishes executing on this TPU runtime.)
 """
 
 from __future__ import annotations
@@ -28,13 +31,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from anchored_fusion_tpu.config import AlignConfig
 from anchored_fusion_tpu.io.fasta import Reference
 from anchored_fusion_tpu.index.kmer import (
-    build_index_arrays, bucket_bits_for, pack_read_kmers_strided,
-    lookup_hits_table, vote_diagonals, read_kmer_offsets)
+    build_index_arrays, build_shard_index_device, bucket_bits_for,
+    pack_read_kmers_strided, lookup_hits_table, vote_diagonals,
+    read_kmer_offsets)
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.align.aligner import (
     AlignmentResult, MultiHits, both_strands, extend_diagonals,
     extend_diagonals_all, fold_strands, stack_result, unstack_result,
-    stack_multi, unstack_multi, _flatten_multi)
+    stack_multi, unstack_multi, _flatten_multi, REF_PREPAD)
 
 
 def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int,
@@ -66,12 +70,51 @@ def _build_shard_arrays(codes: np.ndarray, n_shards: int, k: int, overlap: int,
     keys_arr = np.full((S, max_m), np.iinfo(np.int32).max, np.int32)
     pos_arr = np.zeros((S, max_m), np.int32)
     tbl_arr = np.stack([t for t in tbl_list])
-    seq_arr = np.full((S, max_s), PAD, np.int8)
+    # seq stored PREPADDED (REF_PREPAD each side, shard-local frame) so
+    # extension slices windows without copying the shard per dispatch
+    seq_arr = np.full((S, max_s + 2 * REF_PREPAD), PAD, np.int8)
     for s in range(S):
         keys_arr[s, :len(keys_list[s])] = keys_list[s]
         pos_arr[s, :len(pos_list[s])] = pos_list[s]
-        seq_arr[s, :len(seq_list[s])] = seq_list[s]
+        seq_arr[s, REF_PREPAD:REF_PREPAD + len(seq_list[s])] = seq_list[s]
     return keys_arr, pos_arr, tbl_arr, seq_arr, np.asarray(offsets, np.int64), kb
+
+
+def _build_shard_arrays_on_device(codes: np.ndarray, n_shards: int, k: int,
+                                  overlap: int, stride: int = 1):
+    """Device-side shard index build (the hg38-scale path).
+
+    The host radix sort runs at ~2.5M keys/s on this machine; the chip sorts
+    ~100x faster, so each shard's codes are shipped up once (int8 — the
+    transfer IS the genome) and keyed/sorted/tabled there
+    (kmer.build_shard_index_device).  Shards are padded to one uniform width
+    so a single compiled build serves all of them.  Invalid (N/PAD) windows
+    stay in the arrays under a sentinel key past every bucket; with kb == k
+    the exact table makes keys_sorted dead weight and it is never
+    materialized — a genome-sized array saved.
+    """
+    L = len(codes)
+    per = -(-L // n_shards)
+    kb = bucket_bits_for((per + overlap) // stride, k)
+    width = per + overlap
+    shard_list, offsets = [], []
+    placeholder = jnp.zeros(1, jnp.int32)
+    for s in range(n_shards):
+        lo = s * per
+        sl = codes[lo:min(L, lo + width)]
+        if len(sl) < width:
+            sl = np.concatenate([sl, np.full(width - len(sl), PAD, np.int8)])
+        dev = jnp.asarray(sl)
+        ks, ps, tb = build_shard_index_device(dev, k, kb, stride)
+        # seq stored PREPADDED (REF_PREPAD each side): extension then slices
+        # windows in place instead of copying the 0.5GB shard per dispatch;
+        # shards stay UNSTACKED — the single-device dispatch loop passes
+        # them to one rank-1 program (a vmap over stacked genome-sized
+        # operands compiles, then never finishes executing on this runtime)
+        shard_list.append((tb, placeholder if ks is None else ks, ps,
+                           jnp.pad(dev, REF_PREPAD, constant_values=PAD)))
+        offsets.append(lo)
+    return shard_list, np.asarray(offsets, np.int64), kb
 
 
 def _shard_best(reads, table, keys, pos, seq, read_offsets,
@@ -93,7 +136,8 @@ def _shard_best(reads, table, keys, pos, seq, read_offsets,
     diag, votes = vote_diagonals(diags.reshape(2 * B, C),
                                  hvalid.reshape(2 * B, C), top_k)
     offs = jnp.where(votes > 0, diag, jnp.int32(-(2 ** 30) // 2))
-    cand = extend_diagonals(flat, seq, offs, match, mismatch)
+    cand = extend_diagonals(flat, seq, offs, match, mismatch,
+                            ref_prepad=REF_PREPAD)
     return fold_strands(cand, B, coord_off)
 
 
@@ -110,6 +154,64 @@ def _reduce_best(per_shard: dict):
 
 
 _SENTINEL_OFF = -(2 ** 30) // 2
+
+# Per-dispatch seed workspace budget (bytes).  The dominant live set of one
+# dispatch is the (2B, Q*H) int32 diagonal matrix and its sort buffers
+# (~5 int32-sized temps); the chunk is sized so one dispatch stays under
+# this budget however dense the query side is (index_stride>1 drops the
+# query stride to 1 -> Q~116 instead of ~20).
+_WORKSPACE_BUDGET = 512 * 2**20
+_TEMP_BYTES = 20  # ~5 int32 temps per (strand, kmer, hit) seed entry
+_INFLIGHT_SHARDED = 2  # in-flight CHUNK GROUPS (each = S shard dispatches)
+
+
+def _seed_chunk(Q: int, max_hits: int, cap: int) -> int:
+    """Largest 128-multiple chunk whose dispatch workspace fits the budget."""
+    per_read = 2 * Q * max_hits * _TEMP_BYTES
+    chunk = int(_WORKSPACE_BUDGET // max(per_read, 1))
+    return max(256, min(cap, (chunk // 128) * 128))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch"))
+def _shard_best_one(reads, read_offsets, tbl, keys, pos, seq,
+                    k: int, kb: int, stride: int, max_hits: int, top_k: int,
+                    match: int, mismatch: int):
+    """One shard, one chunk: the same rank-1 program as the flat aligner.
+
+    The single-device shard loop dispatches this S times per chunk rather
+    than one vmap over stacked (S, genome)-sized operands: the batched
+    gather over a 0.5GB mapped operand compiles but never finishes
+    executing on this TPU runtime (and OOMs at larger chunks), while S
+    rank-1 dispatches match the proven flat-path program exactly.
+    """
+    out = _shard_best(reads, tbl, keys, pos, seq, read_offsets,
+                      k=k, kb=kb, stride=stride, max_hits=max_hits,
+                      top_k=top_k, match=match, mismatch=mismatch)
+    return stack_result(out)
+
+
+@jax.jit
+def _reduce_shard_stack(parts):
+    """[(9, B)] per-shard stacked results -> (10, B) best + winning shard.
+
+    Same first-max-wins tie order as the mesh path's ``_reduce_best``
+    (argmax over the shard axis, score = RESULT_FIELDS[0])."""
+    stk = jnp.stack(parts)                                  # (S, 9, B)
+    best = jnp.argmax(stk[:, 0, :], axis=0)                 # (B,)
+    take = jnp.take_along_axis(stk, best[None, None, :], axis=0)[0]
+    return jnp.concatenate([take, best[None].astype(jnp.int32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "kb", "stride", "max_hits", "top_k", "match", "mismatch"))
+def _shard_multi_one(reads, read_offsets, tbl, keys, pos, seq,
+                     k: int, kb: int, stride: int, max_hits: int, top_k: int,
+                     match: int, mismatch: int):
+    """One shard, one chunk, all hits (rank-1 counterpart of _shard_multi)."""
+    return _shard_multi(reads, tbl, keys, pos, seq, read_offsets,
+                        k=k, kb=kb, stride=stride, max_hits=max_hits,
+                        top_k=top_k, match=match, mismatch=mismatch)
 
 
 def _stack_with_shard(out: dict):
@@ -140,7 +242,8 @@ def _shard_multi(reads, table, keys, pos, seq, read_offsets,
     # sentinel offsets stay far negative and score 0 (PAD windows), so the
     # flatten-side min_score filter drops them
     offs = jnp.where(votes > 0, diag, jnp.int32(_SENTINEL_OFF))
-    seg = extend_diagonals_all(flat, seq, offs, match, mismatch)
+    seg = extend_diagonals_all(flat, seq, offs, match, mismatch,
+                               ref_prepad=REF_PREPAD)
     seg["off"] = offs
     return stack_multi(seg)
 
@@ -151,25 +254,43 @@ class ShardedGenomeAligner:
     With a mesh: shard arrays live distributed over the mp axis and the
     per-shard work runs under ``shard_map``; reads are replicated across mp
     (all-gathered once by XLA) and the best-hit reduction is the only
-    cross-shard communication.  Without a mesh: a vmap over shards.
+    cross-shard communication.  Without a mesh: a python loop dispatching
+    one rank-1 program per shard (module docstring).
     """
 
     def __init__(self, reference: Reference, n_shards: int,
                  cfg: Optional[AlignConfig] = None, overlap: int = 512,
-                 mesh: Optional[Mesh] = None, prebuilt=None):
+                 mesh: Optional[Mesh] = None, prebuilt=None,
+                 device_build: Optional[bool] = None):
         self.cfg = cfg or AlignConfig()
         self.reference = reference
         self.n_shards = n_shards
         self.k = self.cfg.genome_kmer
         self.index_stride = getattr(self.cfg, "index_stride", 1)
         self.stride = self.cfg.resolved_query_stride()
+        if device_build is None:
+            # auto: past ~200Mbp the host radix sort dominates wall time and
+            # the device build wins; the mesh path keeps the host build (its
+            # arrays are placed with shardings, not built per device)
+            device_build = (mesh is None and prebuilt is None
+                            and reference.total_length > 200_000_000)
+        self.mesh = mesh
+        if device_build and mesh is None and prebuilt is None:
+            shard_list, offs, kb = _build_shard_arrays_on_device(
+                np.asarray(reference.seq), n_shards, self.k, overlap,
+                stride=self.index_stride)
+            self.kb = kb
+            self.host_offs = np.asarray(offs, np.int64)
+            self.shard_list = shard_list
+            self.tbl, self.keys, self.pos, self.seq = map(
+                tuple, zip(*shard_list))
+            return
         # ``prebuilt`` lets benchmark harnesses time the host index build
         # (_build_shard_arrays) separately from device placement
         keys, pos, tbl, seq, offs, kb = prebuilt or _build_shard_arrays(
             np.asarray(reference.seq), n_shards, self.k, overlap,
             stride=self.index_stride)
         self.kb = kb
-        self.mesh = mesh
         # shard offsets stay on HOST as int64: folding local->global on
         # device would overflow int32 past ~2.1Gbp of genome (hg38 is 3.1G)
         self.host_offs = np.asarray(offs, np.int64)
@@ -181,10 +302,13 @@ class ShardedGenomeAligner:
             self.tbl = jax.device_put(tbl, sh)
             self.seq = jax.device_put(seq, sh)
         else:
-            self.keys = jnp.asarray(keys)
-            self.pos = jnp.asarray(pos)
-            self.tbl = jnp.asarray(tbl)
-            self.seq = jnp.asarray(seq)
+            # single device: per-shard rank-1 arrays (see _shard_best_one)
+            self.shard_list = [
+                (jnp.asarray(tbl[s]), jnp.asarray(keys[s]),
+                 jnp.asarray(pos[s]), jnp.asarray(seq[s]))
+                for s in range(n_shards)]
+            self.tbl, self.keys, self.pos, self.seq = map(
+                tuple, zip(*self.shard_list))
 
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_seg_len: Optional[int] = None, top_k: Optional[int] = None,
@@ -213,26 +337,50 @@ class ShardedGenomeAligner:
         if self.mesh is not None:
             mp = self.mesh.axis_names[1]
 
-            def shard_fn(reads, tbl, keys, pos, seq):
-                out = body(reads, tbl[0], keys[0], pos[0], seq[0],
-                           read_offsets)
+            def shard_fn(reads, offs, tbl, keys, pos, seq):
+                out = body(reads, tbl[0], keys[0], pos[0], seq[0], offs)
                 return {n: v[None] for n, v in out.items()}
 
             fn = jax.jit(jax.shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(P(), P(mp), P(mp), P(mp), P(mp)),
+                in_specs=(P(), P(), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
-            per_shard = fn(jnp.asarray(seqs), self.tbl, self.keys, self.pos,
-                           self.seq)
+            red_fn = jax.jit(lambda ps: _stack_with_shard(_reduce_best(ps)))
+            run = lambda sub: red_fn(fn(
+                jnp.asarray(sub), read_offsets, self.tbl,
+                self.keys, self.pos, self.seq))
         else:
-            fn = jax.jit(jax.vmap(
-                lambda tbl, keys, pos, seq: body(
-                    jnp.asarray(seqs), tbl, keys, pos, seq, read_offsets)))
-            per_shard = fn(self.tbl, self.keys, self.pos, self.seq)
-        # one device->host transfer: reduce + stack (9 result fields + the
-        # winning shard id) into a (10, B) int32 array
-        red = jax.jit(lambda ps: _stack_with_shard(_reduce_best(ps)))(per_shard)
-        arr = np.asarray(red)
+            # single device: S rank-1 dispatches per chunk + one device-side
+            # stack/reduce (ONE transfer per chunk); reads upload once per
+            # chunk and are shared by every shard dispatch
+            kw = dict(k=self.k, kb=self.kb, stride=self.stride,
+                      max_hits=max_hits, top_k=top_k,
+                      match=cfg.match_score, mismatch=cfg.mismatch_penalty)
+
+            def run(sub):
+                dev = jnp.asarray(sub)
+                return _reduce_shard_stack([
+                    _shard_best_one(dev, read_offsets, *sh, **kw)
+                    for sh in self.shard_list])
+        # chunk the batch: one dispatch's seed workspace is bounded by the
+        # budget (dense query side under index_stride>1 grows Q ~6x), and a
+        # shallow in-flight pipeline bounds enqueued allocations
+        Q = len(read_kmer_offsets(R, self.k, self.stride))
+        chunk = _seed_chunk(Q, max_hits, 2048)
+        pending = []
+        outs = []
+        for lo in range(0, B, chunk):
+            sub = seqs[lo:lo + chunk]
+            n_real = sub.shape[0]
+            if n_real < chunk and B > chunk:
+                sub = np.concatenate(
+                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            pending.append((n_real, run(sub)))
+            if len(pending) > _INFLIGHT_SHARDED:
+                n_r, st = pending.pop(0)
+                outs.append(np.asarray(st)[:, :n_r])
+        outs.extend(np.asarray(st)[:, :n_r] for n_r, st in pending)
+        arr = np.concatenate(outs, axis=1)
         cat = {n: v[:B0] for n, v in unstack_result(arr[:-1]).items()}
         shard = arr[-1][:B0]
         # local -> global fold on HOST in int64 (see _shard_best docstring)
@@ -295,35 +443,69 @@ class ShardedGenomeAligner:
         if self.mesh is not None:
             mp = self.mesh.axis_names[1]
 
-            def shard_fn(reads, tbl, keys, pos, seq):
-                out = body(reads, tbl[0], keys[0], pos[0], seq[0],
-                           read_offsets)
+            def shard_fn(reads, offs, tbl, keys, pos, seq):
+                out = body(reads, tbl[0], keys[0], pos[0], seq[0], offs)
                 return out[None]
 
             fn = jax.jit(jax.shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(P(), P(mp), P(mp), P(mp), P(mp)),
+                in_specs=(P(), P(), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
-            per_shard = np.asarray(fn(jnp.asarray(seqs), self.tbl, self.keys,
-                                      self.pos, self.seq))
+            run = lambda sub: fn(jnp.asarray(sub), read_offsets, self.tbl,
+                                 self.keys, self.pos, self.seq)
+            collect = np.asarray                       # (S, 6, 2B, k)
         else:
-            fn = jax.jit(jax.vmap(
-                lambda tbl, keys, pos, seq: body(
-                    jnp.asarray(seqs), tbl, keys, pos, seq, read_offsets)))
-            per_shard = np.asarray(fn(self.tbl, self.keys, self.pos, self.seq))
+            # single device: S rank-1 dispatches per chunk (see align())
+            kw = dict(k=self.k, kb=self.kb, stride=self.stride,
+                      max_hits=max_hits, top_k=top_k,
+                      match=cfg.match_score, mismatch=cfg.mismatch_penalty)
+
+            def run(sub):
+                dev = jnp.asarray(sub)
+                return [_shard_multi_one(dev, read_offsets, *sh, **kw)
+                        for sh in self.shard_list]
+
+            collect = lambda st: np.stack([np.asarray(x) for x in st])
+        # chunked dispatch (HBM peak scales with B x S otherwise), chunk
+        # sized to the workspace budget; collect keeps (chunk_lo, n_real,
+        # stacked) and flattens per shard below
+        Q = len(read_kmer_offsets(R, self.k, self.stride))
+        chunk = _seed_chunk(Q, max_hits, 1024)
+        pending = []
+        collected = []
+        for lo in range(0, B, chunk):
+            sub = seqs[lo:lo + chunk]
+            n_real = sub.shape[0]
+            if n_real < chunk and B > chunk:
+                sub = np.concatenate(
+                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            pending.append((lo, n_real, run(sub)))
+            if len(pending) > _INFLIGHT_SHARDED:
+                lo_c, n_c, st = pending.pop(0)
+                collected.append((lo_c, n_c, collect(st)))
+        collected.extend((lo_c, n_c, collect(st))
+                         for lo_c, n_c, st in pending)
         parts = []
-        for s in range(per_shard.shape[0]):
-            seg = unstack_multi(per_shard[s])
-            mh = _flatten_multi(seg, read_lens, B, top_k, min_score,
-                                min_identity, min_seg_len, R)
-            sel = mh.read_id < B0
-            # local -> global coordinate fold on HOST in int64
-            off_s = np.int64(self.host_offs[s])
-            parts.append(MultiHits(**{
-                f.name: (getattr(mh, f.name)[sel] + off_s
-                         if f.name in ("ref_start", "ref_end")
-                         else getattr(mh, f.name)[sel])
-                for f in dataclasses.fields(MultiHits)}))
+        for lo_c, n_c, per_shard in collected:
+            Bc = min(chunk, B) if B > chunk else B
+            rl = read_lens[lo_c:lo_c + Bc]
+            if len(rl) < per_shard.shape[2] // 2:
+                rl = np.concatenate(
+                    [rl, np.zeros(per_shard.shape[2] // 2 - len(rl), np.int32)])
+            for s in range(per_shard.shape[0]):
+                seg = unstack_multi(per_shard[s])
+                mh = _flatten_multi(seg, rl, per_shard.shape[2] // 2, top_k,
+                                    min_score, min_identity, min_seg_len, R)
+                sel = mh.read_id < n_c
+                # local -> global coordinate fold on HOST in int64
+                off_s = np.int64(self.host_offs[s])
+                parts.append(MultiHits(**{
+                    f.name: (getattr(mh, f.name)[sel] + off_s
+                             if f.name == "ref_start" or f.name == "ref_end"
+                             else (mh.read_id[sel] + lo_c
+                                   if f.name == "read_id"
+                                   else getattr(mh, f.name)[sel]))
+                    for f in dataclasses.fields(MultiHits)}))
         cat = MultiHits(**{
             f.name: np.concatenate([getattr(p, f.name) for p in parts])
             for f in dataclasses.fields(MultiHits)})
