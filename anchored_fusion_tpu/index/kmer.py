@@ -131,7 +131,43 @@ def build_index_arrays(codes: np.ndarray, k: int,
     return kv, pos, table, kb
 
 
+@functools.partial(jax.jit, static_argnames=("k", "stride", "n"))
+def _pack_keys_chunk(codes: jax.Array, k: int, stride: int, n: int):
+    """Keys of the first ``n`` windows of one codes chunk (int32, sentinel
+    for N/PAD windows).  Bounded temps: the int32 cast + k strided slices
+    live only at chunk size, never genome size."""
+    cc = jnp.where(codes < 4, codes, 0).astype(jnp.int32)
+    badc = codes >= 4
+    m = -(-n // stride)
+    keys = jnp.zeros((m,), jnp.int32)
+    bad = jnp.zeros((m,), bool)
+    for j in range(k):
+        keys = keys * 4 + jax.lax.slice(cc, (j,), (j + n,), (stride,))
+        bad = bad | jax.lax.slice(badc, (j,), (j + n,), (stride,))
+    return jnp.where(bad, jnp.int32(np.iinfo(np.int32).max), keys)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "kb", "stride"))
+def _sort_and_table(keys: jax.Array, k: int, kb: int, stride: int):
+    """Stable key sort (ONE two-operand lax.sort: sorted keys + positions)
+    and the bucket table via sort-method searchsorted."""
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    keys_sorted, order = jax.lax.sort((keys, iota), num_keys=1,
+                                      is_stable=True)
+    pos_sorted = order * stride
+    starts = (jnp.arange((1 << (2 * kb)) + 1, dtype=jnp.int32)
+              << (2 * (k - kb)))
+    table = jnp.searchsorted(keys_sorted, starts, side="left",
+                             method="sort").astype(jnp.int32)
+    return keys_sorted, pos_sorted, table
+
+
+# key-packing chunk (bases).  Per call the int32 cast is 4x this and the k
+# strided slices add ~k/stride x; 2^26 keeps one call's temps ~1.5GB with
+# k=13/stride=4 — small enough to coexist with already-built shards in HBM.
+_PACK_CHUNK = 1 << 26
+
+
 def build_shard_index_device(codes: jax.Array, k: int, kb: int,
                              stride: int = 1):
     """Device-side shard index build: (keys_or_none, pos_sorted, table).
@@ -139,33 +175,32 @@ def build_shard_index_device(codes: jax.Array, k: int, kb: int,
     The host build (numpy stable argsort) runs at ~2.5M keys/s on this
     machine; the TPU sorts at ~300M/s, so hg38-scale builds go on device:
     pack keys with k static strided slices, push N-containing windows to a
-    sentinel that sorts past every real bucket, stable-argsort, and derive
+    sentinel that sorts past every real bucket, stable-sort, and derive
     the bucket table with one sort-method searchsorted.  Invalid windows
     stay in the arrays (fixed shapes) but no table range ever reaches them.
+
+    Key packing is CHUNKED (``_PACK_CHUNK`` bases per dispatch): a single
+    whole-shard pack materializes the int32 cast of the full shard plus k
+    strided int32 slices simultaneously (~15GB of HLO temps at a 1Gbp
+    shard — the hg38 OOM), while chunking bounds temps at ~1.5GB and the
+    concatenated key array is bit-identical.  Sort + argsort share ONE
+    two-operand ``lax.sort``.
 
     With kb == k the table is exact and ``keys_sorted`` is never read by
     ``lookup_hits_table``; None is returned so hg38-scale indexes skip a
     genome-sized array entirely (host->device transfer is 83MB/s here).
     """
-    L = codes.shape[0]
+    L = int(codes.shape[0])
     n = L - k + 1
-    m = -(-n // stride)
-    cc = jnp.where(codes < 4, codes, 0).astype(jnp.int32)
-    badc = codes >= 4
-    keys = jnp.zeros((m,), jnp.int32)
-    bad = jnp.zeros((m,), bool)
-    for j in range(k):
-        keys = keys * 4 + jax.lax.slice(cc, (j,), (j + n,), (stride,))
-        bad = bad | jax.lax.slice(badc, (j,), (j + n,), (stride,))
-    sentinel = jnp.int32(np.iinfo(np.int32).max)
-    keys = jnp.where(bad, sentinel, keys)
-    order = jnp.argsort(keys, stable=True)
-    pos_sorted = (order * stride).astype(jnp.int32)
-    keys_sorted = jnp.sort(keys, stable=True)
-    starts = (jnp.arange((1 << (2 * kb)) + 1, dtype=jnp.int32)
-              << (2 * (k - kb)))
-    table = jnp.searchsorted(keys_sorted, starts, side="left",
-                             method="sort").astype(jnp.int32)
+    C = (_PACK_CHUNK // stride) * stride       # chunk starts stay stride-aligned
+    parts = []
+    for lo in range(0, n, C):
+        n_c = min(C, n - lo)
+        # windows [lo, lo+n_c) need codes[lo : lo+n_c+k-1]
+        chunk = jax.lax.slice(codes, (lo,), (min(L, lo + n_c + k - 1),))
+        parts.append(_pack_keys_chunk(chunk, k, stride, n_c))
+    keys = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    keys_sorted, pos_sorted, table = _sort_and_table(keys, k, kb, stride)
     return (None if kb == k else keys_sorted), pos_sorted, table
 
 
