@@ -56,8 +56,13 @@ class AlignConfig:
     # The seed-hit gather is the genome stage's HBM-bound hot loop: its cost
     # is linear in this cap (H=16 is 3.2x faster than H=64 end-to-end), and
     # seeds with more hits carry little placement information anyway — bwa
-    # skips high-occurrence seeds entirely.
-    max_hits_per_kmer: int = 16
+    # skips high-occurrence seeds entirely.  Default 8, adopted from the
+    # recall-vs-H sweeps (bench/hg_scale.py; docs/PERFORMANCE.md): recall
+    # outside segmental duplications is 1.0000 at H∈{8,16,32} on BOTH the
+    # 32MB flat truth set (41.2k vs 34.6k reads/s) and the full 3.1Gbp
+    # sharded run (6.5k vs 3.7k reads/s) — H=8 costs nothing and buys
+    # 1.2-1.7x on the genome stage.
+    max_hits_per_kmer: int = 8
     # Genome index build-side sampling stride (BLAT tiles its target at
     # stepSize=tileSize; bwa samples its suffix array 1/32).  1 = index every
     # position (default, maximal sensitivity).  s>1 shrinks the sorted index
