@@ -45,7 +45,13 @@ def _sw_align_fast(reads, wins, rv, wv, cfg: AlignConfig):
     import jax as _jax
     kw = dict(match=cfg.match_score, mismatch=cfg.mismatch_penalty,
               gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
-    if _jax.default_backend() == "tpu":
+    # the EFFECTIVE placement decides: under `jax.default_device(cpu)` (the
+    # virtual-mesh dryrun/tests) default_backend() still says "tpu" here but
+    # the kernel would lower for CPU, where Pallas only interprets
+    _dd = _jax.config.jax_default_device
+    _plat = getattr(_dd, "platform", _dd) if _dd is not None \
+        else _jax.default_backend()
+    if _plat == "tpu":
         from anchored_fusion_tpu.ops.sw_pallas import sw_align_fused_pallas
         return sw_align_fused_pallas(reads, wins, **kw)
 
