@@ -109,3 +109,24 @@ def test_indel_junction_read_recovers_breakpoint():
                                   res_off.read_end, res_off.ref_start,
                                   res_off.ref_end, "T")
     assert {s.breakpoint for s in srs_off} != {bp}
+
+
+def test_sw_align_fast_under_pinned_cpu_device(rng):
+    """The fused Pallas kernel must not be selected when computation is
+    pinned to CPU devices (the virtual-mesh dryrun): Pallas only interprets
+    on the CPU backend, so `_sw_align_fast` must take the lax fallback
+    whenever `jax.default_device` names a non-TPU platform."""
+    import jax
+    from anchored_fusion_tpu.align.refine import _sw_align_fast
+    from anchored_fusion_tpu.ops.encode import PAD
+    reads = np.full((8, 32), PAD, np.int8)
+    wins = np.full((8, 64), PAD, np.int8)
+    reads[:, :20] = encode_ascii(random_dna(rng, 20))
+    wins[:, 5:25] = reads[:, :20]
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        out = _sw_align_fast(reads, wins, reads != PAD, wins != PAD,
+                             AlignConfig())
+    assert (np.asarray(out["score"]) >= 20).all()
+    assert (np.asarray(out["end_win"]) == 24).all()
+    assert (np.asarray(out["start_win"]) == 5).all()
