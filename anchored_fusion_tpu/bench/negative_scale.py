@@ -74,9 +74,14 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
+    # distinct 3-letter name prefixes per gene: Inspect_name parity rejects
+    # any pair sharing its first 3 chars (paralog-family heuristic), so a
+    # uniform GENE<i> naming self-rejects 100% of mined pairs
+    namer = lambda gi: (chr(65 + gi // 676 % 26) + chr(65 + gi // 26 % 26)
+                        + chr(65 + gi % 26) + str(gi))
     sg = make_synthetic_genome(rng, n_genes=args.genes,
                                exons_per_gene=(3, 6), exon_len=(200, 400),
-                               intergenic=(20_000, 40_000))
+                               intergenic=(20_000, 40_000), namer=namer)
     index = ExonIndex(sg.gtf_dic, inject_loci=False)
     ga = GenomeAligner(sg.genome)
     t_setup = time.time() - t0

@@ -93,8 +93,15 @@ def make_synthetic_genome(
     intergenic: Tuple[int, int] = (500, 1500),
     chrom: str = "chr1",
     gene_prefix: str = "GENE",
+    namer=None,
 ) -> SynthGenome:
-    """A single-chromosome genome with spliced genes and a matching exon dict."""
+    """A single-chromosome genome with spliced genes and a matching exon dict.
+
+    ``namer(gi) -> str`` overrides the default ``{gene_prefix}{gi}`` names.
+    Cohorts feeding the negative miner need it: `Inspect_name` parity
+    (models/negative.py:_inspect_name, reference functions.py) rejects any
+    pair sharing a 3-character name prefix as same-family paralogs, so a
+    single shared prefix silently rejects EVERY mined pair."""
     parts: List[str] = []
     pos = 1
     genes: Dict[str, SynthGene] = {}
@@ -103,7 +110,7 @@ def make_synthetic_genome(
         gap = int(rng.integers(*intergenic))
         parts.append(random_seq(rng, gap))
         pos += gap
-        name = f"{gene_prefix}{gi}"
+        name = namer(gi) if namer is not None else f"{gene_prefix}{gi}"
         n_ex = int(rng.integers(exons_per_gene[0], exons_per_gene[1] + 1))
         exons = []
         for ei in range(n_ex):
