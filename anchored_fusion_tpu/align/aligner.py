@@ -78,6 +78,19 @@ _SEED_CACHE: dict = {}
 # many chunks a multi-million-read batch splits into.
 _INFLIGHT_CHUNKS = 4
 
+# Chunks per grouped device->host result pull.  Every host pull is a full
+# round trip through the remote TPU relay (~20-100ms latency depending on the
+# day, measured in docs/PERFORMANCE.md) while the per-chunk result is tiny
+# (9 x chunk int32); stacking _FLUSH_CHUNKS results device-side and pulling
+# them as ONE array amortizes that latency 8x.  Groups are double-buffered:
+# the oldest sealed group is pulled only once a newer group has been
+# dispatched, so the device always has queued work during the pull.
+_FLUSH_CHUNKS = 8
+
+# Device-side stack of a group of same-shape stacked results; one compile per
+# (arity, shape), persisted by the compilation cache.
+_stack_group = jax.jit(lambda *xs: jnp.stack(xs))
+
 # Genome-scale references are stored prepadded with this many PAD codes on
 # each side so diagonal extension can slice windows directly instead of
 # materializing a PAD-guarded copy of the whole genome per dispatch (which
@@ -546,14 +559,37 @@ def align_to_reference(
     ref = (jnp.asarray(ref_codes, dtype=jnp.int8) if mesh is None
            else jax.device_put(np.asarray(ref_codes, np.int8), rep_sh))
     # dispatch chunks asynchronously (the next chunk's host->device transfer
-    # overlaps the previous chunk's compute) with a bounded in-flight window:
-    # collecting chunk i-K while dispatching chunk i keeps transfer/compute
-    # overlap but caps live device buffers at K chunks instead of queueing
-    # the whole read set's HBM up front
-    pending = []
+    # overlaps the previous chunk's compute); results are pulled in grouped
+    # flushes of _FLUSH_CHUNKS (one relay round trip per group, not per
+    # chunk), double-buffered so the device still has dispatched work queued
+    # while a group transfers.  Live device buffers stay bounded at ~2 groups
+    # however many chunks a multi-million-read batch splits into.
+    group = []        # (n_real, stacked) same-shape chunks awaiting a pull
+    sealed = []       # full groups dispatched but not yet pulled
     outs = []
-    _collect = lambda n_real, st: {
-        n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
+
+    def _flush(g):
+        if not g:
+            return
+        if len(g) == 1:
+            arrs = [np.asarray(g[0][1])]
+        else:
+            arrs = np.asarray(_stack_group(*[st for _, st in g]))
+        for (n_real, _), a in zip(g, arrs):
+            outs.append({n: v[:n_real]
+                         for n, v in unstack_result(a).items()})
+
+    def _push(n_real, st):
+        if group and group[-1][1].shape != st.shape:
+            sealed.append(list(group))
+            group.clear()
+        group.append((n_real, st))
+        if len(group) >= _FLUSH_CHUNKS:
+            sealed.append(list(group))
+            group.clear()
+        while len(sealed) > 1:
+            _flush(sealed.pop(0))
+
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
         n_real = sub.shape[0]
@@ -570,18 +606,18 @@ def align_to_reference(
             packed = pack_nibbles(sub)
             if mesh is not None:
                 packed = jax.device_put(packed, dp_sh)
-            pending.append((n_real, _align_core_stacked_packed(
+            _push(n_real, _align_core_stacked_packed(
                 packed, ref, W, W2, top_k, cfg.match_score,
-                cfg.mismatch_penalty, stride, R)))
+                cfg.mismatch_penalty, stride, R))
         else:  # odd widths keep the raw-byte path (coords depend on R)
             if mesh is not None:
                 sub = jax.device_put(sub, dp_sh)
-            pending.append((n_real, _align_core_stacked(
+            _push(n_real, _align_core_stacked(
                 sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
-                stride)))
-        if len(pending) > _INFLIGHT_CHUNKS:
-            outs.append(_collect(*pending.pop(0)))
-    outs.extend(_collect(*p) for p in pending)
+                stride))
+    sealed.append(list(group))
+    for g in sealed:
+        _flush(g)
     if not outs:
         z = lambda dt: np.zeros(0, dt)
         return AlignmentResult(z(np.int32), z(np.int8), z(np.int32), z(np.int32),

@@ -47,10 +47,20 @@ def _sw_align_fast(reads, wins, rv, wv, cfg: AlignConfig):
               gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
     # the EFFECTIVE placement decides: under `jax.default_device(cpu)` (the
     # virtual-mesh dryrun/tests) default_backend() still says "tpu" here but
-    # the kernel would lower for CPU, where Pallas only interprets
-    _dd = _jax.config.jax_default_device
-    _plat = getattr(_dd, "platform", _dd) if _dd is not None \
-        else _jax.default_backend()
+    # the kernel would lower for CPU, where Pallas only interprets.  An input
+    # already committed to a device (jax Array via device_put) pins the
+    # lowering regardless of the default — check it first.
+    _plat = None
+    for _arr in (reads, wins):
+        if isinstance(_arr, _jax.Array):
+            _devs = _arr.devices()
+            if _devs:
+                _plat = next(iter(_devs)).platform
+                break
+    if _plat is None:
+        _dd = _jax.config.jax_default_device
+        _plat = getattr(_dd, "platform", _dd) if _dd is not None \
+            else _jax.default_backend()
     if _plat == "tpu":
         from anchored_fusion_tpu.ops.sw_pallas import sw_align_fused_pallas
         return sw_align_fused_pallas(reads, wins, **kw)

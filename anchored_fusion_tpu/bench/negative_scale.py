@@ -76,8 +76,14 @@ def main(argv=None) -> int:
     t0 = time.time()
     # distinct 3-letter name prefixes per gene: Inspect_name parity rejects
     # any pair sharing its first 3 chars (paralog-family heuristic), so a
-    # uniform GENE<i> naming self-rejects 100% of mined pairs
-    namer = lambda gi: (chr(65 + gi // 676 % 26) + chr(65 + gi // 26 % 26)
+    # uniform GENE<i> naming self-rejects 100% of mined pairs.  The FIRST
+    # letter alphabet excludes 'I' and 'E' so no name can start with the
+    # auto-rejected 'IG'/'EN' prefixes, and the numeric suffix keeps names
+    # unique; prefixes are collision-free up to 24*26*26 genes.
+    first = [c for c in map(chr, range(65, 91)) if c not in "IE"]
+    assert args.genes <= len(first) * 676, \
+        f"--genes {args.genes} exceeds the distinct-prefix capacity {len(first) * 676}"
+    namer = lambda gi: (first[gi // 676 % len(first)] + chr(65 + gi // 26 % 26)
                         + chr(65 + gi % 26) + str(gi))
     sg = make_synthetic_genome(rng, n_genes=args.genes,
                                exons_per_gene=(3, 6), exon_len=(200, 400),

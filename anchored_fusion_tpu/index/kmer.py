@@ -192,6 +192,10 @@ def build_shard_index_device(codes: jax.Array, k: int, kb: int,
     """
     L = int(codes.shape[0])
     n = L - k + 1
+    if n <= 0:  # degenerate shard shorter than k: empty index, zero table
+        empty = jnp.zeros((0,), jnp.int32)
+        table = jnp.zeros((1 << (2 * kb)) + 1, jnp.int32)
+        return (None if kb == k else empty), empty, table
     C = (_PACK_CHUNK // stride) * stride       # chunk starts stay stride-aligned
     parts = []
     for lo in range(0, n, C):

@@ -106,6 +106,39 @@ def run_scaling(seqs, anchor_codes, surrogate) -> dict:
     return out
 
 
+def relay_attribution(run, db, n: int):
+    """Attribute bench variance to the remote-relay environment.
+
+    The primary metric is relay-sensitive (host<->device round trips through
+    the axon tunnel vary 20-100ms day to day — the round-2 345.6k vs round-3
+    292.7k "regression" was exactly this, same code both rounds).  Reporting
+    the relay's vitals alongside the number makes every capture attributable:
+      roundtrip_ms  — latency of a tiny op round trip
+      h2d_mb_s      — host->device bandwidth at input-batch size
+      compute_reads_per_s — device-only throughput (dispatch K batches of
+                      device-resident input, block once, pull nothing)
+    """
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    t0 = time.time()
+    for _ in range(5):
+        float(jnp.sum(jnp.zeros((8,))))
+    rt_ms = (time.time() - t0) / 5 * 1000
+    x = np.zeros((8, db.nbytes), np.int8)
+    jax.block_until_ready(jax.device_put(x[0]))
+    t0 = time.time()
+    jax.block_until_ready([jax.device_put(x[i]) for i in range(8)])
+    h2d = 8 * db.nbytes / (time.time() - t0) / 1e6
+    K = 20
+    jax.block_until_ready(run(db))
+    t0 = time.time()
+    jax.block_until_ready([run(db) for _ in range(K)])
+    comp = K * n / (time.time() - t0)
+    return {"roundtrip_ms": round(rt_ms, 1), "h2d_mb_s": round(h2d, 1),
+            "compute_reads_per_s": round(comp, 1)}
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -115,6 +148,7 @@ def main():
     from anchored_fusion_tpu.align import align_to_reference
     from anchored_fusion_tpu.align.aligner import (
         _align_core_stacked_packed, _seed_matrix_cached)
+    from anchored_fusion_tpu.config import AlignConfig
     from anchored_fusion_tpu.ops.encode import pack_nibbles
     import jax.numpy as jnp
 
@@ -123,30 +157,41 @@ def main():
     anchor = read_fasta("/root/reference/test/target_gene.fasta")
     seqs = rb.seq.reshape(-1, rb.max_len)
     n, R = seqs.shape
-    chunk = -(-n // 128) * 128  # single dispatch per batch
+    chunk = -(-n // 128) * 128  # one dispatch per sample copy
     # parity check + warm-up (compile) through the public API
     res = align_to_reference(seqs, anchor.seq, chunk=chunk)
     assert int(res.mapped.sum()) == 1261, "parity check failed"
-    # Steady-state streaming throughput: keep a pipeline of DEPTH in-flight
-    # batches (distinct host buffers, like a real FASTQ stream) so the remote
-    # dispatch latency overlaps device compute — exactly how the production
-    # driver feeds the chip.  Reported value = pipelined reads/s.
-    DEPTH, ROUNDS = 4, 3
+    # Steady-state streaming throughput THROUGH THE PUBLIC API: a DEPTH-copy
+    # read stream (like a real FASTQ feed) in chunk-sized dispatches.  The
+    # aligner pipelines host->device transfers against compute and pulls
+    # results in ONE grouped device-side stack (align_to_reference
+    # _FLUSH_CHUNKS), so the relay round-trip latency is paid once per
+    # group, not once per chunk.  gapped_refine off: the timed quantity is
+    # the seeding+extension stage (the historical metric; the refine pass is
+    # a selective post-pass measured by the pipeline number below).
+    # DEPTH=16 (360k reads) reaches the steady state a real multi-million-read
+    # sample runs at; short streams (DEPTH<=8) are dominated by the one-time
+    # relay round trip of their single result pull and under-report by ~2x.
+    DEPTH, ROUNDS = 16, 5
+    stream = np.concatenate([seqs] * DEPTH)
+    cfg = AlignConfig(gapped_refine=False)
+    r = align_to_reference(stream, anchor.seq, cfg, chunk=chunk)  # warm
+    assert int(r.mapped.sum()) == DEPTH * 1261, "stream parity check failed"
+    rounds = []
+    for _ in range(ROUNDS):
+        t0 = time.time()
+        align_to_reference(stream, anchor.seq, cfg, chunk=chunk)
+        rounds.append(round(n * DEPTH / (time.time() - t0), 1))
+    best = max(rounds)
+    median = sorted(rounds)[len(rounds) // 2]
+
+    # relay attribution (what the primary number depends on today)
     pad = np.full((chunk - n, R), 5, np.int8)
-    # nibble-packed batches: the host->device relay (~83MB/s) is the aligner's
-    # dominant cost, so reads cross it at two codes per byte
-    batches = [pack_nibbles(np.concatenate([seqs, pad])) for _ in range(DEPTH)]
+    db = jax.device_put(pack_nibbles(np.concatenate([seqs, pad])))
     ref = jnp.asarray(anchor.seq, jnp.int8)
     W, W2 = _seed_matrix_cached(anchor.seq, R, 1)
     run = lambda b: _align_core_stacked_packed(b, ref, W, W2, 4, 1, 4, 1, R)
-    np.asarray(run(batches[0]))  # warm
-    best = 0.0
-    for _ in range(ROUNDS):
-        t0 = time.time()
-        outs = [run(b) for b in batches]
-        _ = [np.asarray(o) for o in outs]
-        dt = time.time() - t0
-        best = max(best, n * DEPTH / dt)
+    relay = relay_attribution(run, db, n)
 
     # ---- full ten-stage pipeline on the bundled sample (surrogate genome) --
     import tempfile
@@ -186,6 +231,9 @@ def main():
         "value": round(best, 1),
         "unit": "reads/s",
         "vs_baseline": round(best / BASELINE_READS_PER_S, 2),
+        "median": median,
+        "rounds": rounds,
+        "relay": relay,
         "pipeline_reads_per_s": round(pipe_rps, 1),
         "pipeline_wall_s": round(pipe_dt, 2),
         "scaling": scaling,

@@ -74,6 +74,64 @@ def test_mine_negatives_excludes_target_gene(world):
     assert rows == []
 
 
+def test_mine_negatives_from_sam_matches_in_framework(world, tmp_path):
+    """SAM-ingestion parity (VERDICT r3 #6): mining from an external SAM of
+    the same alignments yields the same junction rows as the in-framework
+    path (functions.py:1425-1441 consumes a pre-existing whole-genome BAM)."""
+    from anchored_fusion_tpu.models.negative import mine_negative_junctions_sam
+    from anchored_fusion_tpu.ops.encode import decode_to_str, revcomp
+
+    rng, sg, index, ga = world
+    gA, gB = sg.genes["Q1"], sg.genes["Q4"]
+    seqA = sg.genome.fetch_str("chr1", *gA.exons[0])
+    seqB = sg.genome.fetch_str("chr1", *gB.exons[0])
+    reads = []
+    for i in range(4):
+        reads.append(encode_ascii(seqA[10 + i:60 + i] + seqB[20 + i:71 + i],
+                                  length=128))
+    for i in range(4):
+        reads.append(encode_ascii(seqA[i:101 + i], length=128))
+    seqs = np.stack(reads)
+    rows_native = mine_negative_junctions(ga, sg.genome, index, seqs,
+                                          gene_names=["Q0"],
+                                          min_locus_distance=1000)
+    assert rows_native, "fixture must mine at least one junction"
+
+    # externalize the very same alignments as a SAM file (what a user's
+    # bwa-mem BAM would contain: primary + secondary split hits, NM/AS tags)
+    hits = ga.align_multi(seqs, min_score=20, min_seg_len=20, top_k=6)
+    order = np.lexsort((-np.asarray(hits.score), np.asarray(hits.read_id)))
+    lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    for c, ln in zip(sg.genome.names, sg.genome.lengths):
+        lines.append(f"@SQ\tSN:{c}\tLN:{int(ln)}")
+    seen = set()
+    for h in order:
+        rid = int(hits.read_id[h])
+        L = int((seqs[rid] != 5).sum())
+        qs, qe = int(hits.q_start[h]), int(hits.q_end[h])
+        rev = int(hits.strand[h]) == 1
+        flag = 0x10 if rev else 0
+        if rid in seen:
+            flag |= 0x100
+        seen.add(rid)
+        lc, rc = (L - 1 - qe, qs) if rev else (qs, L - 1 - qe)
+        cigar = (f"{lc}S" if lc else "") + \
+            f"{qe - qs + 1}M" + (f"{rc}S" if rc else "")
+        codes = seqs[rid][:L]
+        seq = decode_to_str(revcomp(codes) if rev else codes)
+        chrom, pos1 = sg.genome.to_local(int(hits.ref_start[h]))
+        nm = int(hits.length[h]) - int(hits.matches[h])
+        lines.append(f"r{rid}\t{flag}\t{chrom}\t{pos1}\t60\t{cigar}\t*\t0\t0"
+                     f"\t{seq}\t*\tNM:i:{nm}\tAS:i:{int(hits.score[h])}")
+    sam = tmp_path / "external.sam"
+    sam.write_text("\n".join(lines) + "\n")
+
+    rows_sam = mine_negative_junctions_sam(str(sam), sg.genome, index,
+                                           gene_names=["Q0"],
+                                           min_locus_distance=1000)
+    assert rows_sam == rows_native
+
+
 def test_build_positive_junctions(world):
     rng, sg, index, ga = world
     g1, g2 = sg.genes["Q2"], sg.genes["Q3"]
