@@ -165,6 +165,24 @@ def load_homo_map(path: str) -> Dict[str, Set[str]]:
     return out
 
 
+def resolve_data_path(path: str) -> str:
+    """Resolve a missing CWD-relative data path against the checkout root.
+
+    The reference resolves its data-file defaults relative to the script
+    directory (Anchored_Fusion.py:34-44) so they work from any CWD; the
+    equivalent here is the repository root (parent of the package), where
+    the shipped assets live (``data/positive_samples.txt``, generated by
+    bench/make_positive_assets.py ≙ the reference's data/positive_seq.txt).
+    """
+    if not path or os.path.exists(path):
+        return path
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    rel = path[2:] if path.startswith("./") else path
+    cand = os.path.join(root, rel)
+    return cand if os.path.exists(cand) else path
+
+
 def setup_filter(args, pipe: FusionPipeline, index: ExonIndex,
                  all_read_seqs, gene_names: List[str],
                  model_out_dir: str) -> Optional[TrainedFilter]:
@@ -175,26 +193,29 @@ def setup_filter(args, pipe: FusionPipeline, index: ExonIndex,
         return None
     cfg = pipe.cfg.filter_model
     if args.not_train_filter_model:
-        if os.path.exists(args.model_file):
-            if args.model_file.endswith((".pt", ".pth")):
+        model_path = resolve_data_path(args.model_file)
+        if os.path.exists(model_path):
+            if model_path.endswith((".pt", ".pth")):
                 # reference-format torch checkpoint (Model.py:314-333)
                 from anchored_fusion_tpu.models.torch_import import (
                     load_torch_checkpoint)
-                return load_torch_checkpoint(args.model_file, cfg, cfg.len_seq)
-            return TrainedFilter.load(args.model_file, cfg, cfg.len_seq)
+                return load_torch_checkpoint(model_path, cfg, cfg.len_seq)
+            return TrainedFilter.load(model_path, cfg, cfg.len_seq)
         print("Error: model file not found!, not performing filter false positives.")
         return None
-    if not os.path.exists(args.positive_samples):
+    positive_path = resolve_data_path(args.positive_samples)
+    if not os.path.exists(positive_path):
         print("Error: positive samples file not found!, not performing filter false positives.")
         return None
-    positives = fdata.read_junction_file(args.positive_samples)
+    positives = fdata.read_junction_file(positive_path)
     neg_path = args.negative_samples
     if not os.path.exists(neg_path):
         neg_path = os.path.join(model_out_dir, "negative_samples.txt")
     if os.path.exists(neg_path):
         negatives = fdata.read_junction_file(neg_path)
     else:
-        homo_map = load_homo_map(bootstrap_homo_gene(args.homo_gene_file))
+        homo_map = load_homo_map(bootstrap_homo_gene(
+            resolve_data_path(args.homo_gene_file)))
         negatives = mine_negative_junctions(
             pipe.genome_aligner, pipe.genome, index, all_read_seqs,
             gene_names, homo_map)
