@@ -92,9 +92,17 @@ class GenomeAligner:
 
     def __init__(self, reference: Reference, cfg: Optional[AlignConfig] = None,
                  kmer: Optional[int] = None, stride: Optional[int] = None,
-                 device_build: Optional[bool] = None):
+                 device_build: Optional[bool] = None, mesh=None):
+        """``mesh``: replicate the index over the mesh and dp-shard every
+        read chunk over its FIRST axis — the production multi-chip genome
+        layout (a strided whole-genome index fits one v5e chip, so read data
+        parallelism with a replicated index beats splitting the index; the
+        mp axis in parallel/sharded_genome remains for genomes that exceed
+        one device's HBM).  XLA partitions the jitted core from the input
+        shardings; no collectives are needed (records stay dp-sharded)."""
         self.cfg = cfg or AlignConfig()
         self.reference = reference
+        self.mesh = mesh
         if reference.total_length > 2**31 - 2**20:
             # the flat index keeps int32 genome positions; past ~2.1Gbp use
             # the sharded index (shard-local int32 + host int64 fold), which
@@ -135,11 +143,21 @@ class GenomeAligner:
             self.codes = jnp.asarray(np.pad(
                 np.asarray(reference.seq), self.ref_prepad,
                 constant_values=PAD))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            put = lambda a: jax.device_put(np.asarray(a), rep)
+            self.index = KmerIndex(
+                k=self.index.k, kb=self.index.kb, table=put(self.index.table),
+                keys_sorted=put(self.index.keys_sorted),
+                pos_sorted=put(self.index.pos_sorted),
+                ref_len=self.index.ref_len)
+            self.codes = put(self.codes)
 
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_identity: float = 0.0, min_seg_len: Optional[int] = None,
               top_k: Optional[int] = None, max_hits: Optional[int] = None,
-              chunk: int = 2048) -> AlignmentResult:
+              chunk: int = 8192) -> AlignmentResult:
         cfg = self.cfg
         if min_score is None:
             min_score = cfg.min_align_score
@@ -154,30 +172,69 @@ class GenomeAligner:
             seqs = np.concatenate(
                 [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
         B, R = seqs.shape
-        offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        dp_sh = None
+        batch_mult = 128
+        if self.mesh is not None:
+            import math
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = self.mesh.shape[self.mesh.axis_names[0]]
+            dp_sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            batch_mult = math.lcm(128, dp)
+            chunk = -(-chunk // batch_mult) * batch_mult
+        offsets = (jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+                   if self.mesh is None else jax.device_put(
+                       read_kmer_offsets(R, self.k, self.stride),
+                       jax.sharding.NamedSharding(
+                           self.mesh, jax.sharding.PartitionSpec())))
         from anchored_fusion_tpu.ops.encode import pack_nibbles
-        pending = []
-        outs = []
-        _collect = lambda n_real, st: {
-            n: v[:n_real] for n, v in unstack_result(np.asarray(st)).items()}
+        # grouped result pulls (same pattern as aligner.align_to_reference):
+        # each pull is a relay round trip while the per-chunk result is tiny,
+        # so up to 8 chunk results stack device-side and cross as one array
+        from anchored_fusion_tpu.align.aligner import _stack_group
+        group, sealed, outs = [], [], []
+
+        def _flush(g):
+            if not g:
+                return
+            if len(g) == 1:
+                arrs = [np.asarray(g[0][1])]
+            else:
+                arrs = np.asarray(_stack_group(*[st for _, st in g]))
+            for (n_r, _), a in zip(g, arrs):
+                outs.append({n: v[:n_r]
+                             for n, v in unstack_result(a).items()})
+
+        def _push(n_real, st):
+            if group and group[-1][1].shape != st.shape:
+                sealed.append(list(group))
+                group.clear()
+            group.append((n_real, st))
+            if len(group) >= 8:
+                sealed.append(list(group))
+                group.clear()
+            while len(sealed) > 1:
+                _flush(sealed.pop(0))
+
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
             n_real = sub.shape[0]
             if n_real < chunk:
-                target = chunk if B > chunk else -(-n_real // 128) * 128
+                target = (chunk if B > chunk
+                          else -(-n_real // batch_mult) * batch_mult)
                 if target != n_real:
                     sub = np.concatenate(
                         [sub, np.full((target - n_real, R), PAD, np.int8)], axis=0)
-            # async dispatch with a bounded in-flight window (constant device
-            # memory for arbitrarily large read sets; see aligner.py)
-            pending.append((n_real, _genome_align_core(
-                pack_nibbles(sub), self.codes, self.index.table,
+            packed = pack_nibbles(sub)
+            if dp_sh is not None:
+                packed = jax.device_put(packed, dp_sh)
+            _push(n_real, _genome_align_core(
+                packed, self.codes, self.index.table,
                 self.index.keys_sorted, self.index.pos_sorted, offsets,
                 self.k, self.index.kb, self.stride, max_hits, top_k,
-                cfg.match_score, cfg.mismatch_penalty, R, self.ref_prepad)))
-            if len(pending) > _INFLIGHT_CHUNKS:
-                outs.append(_collect(*pending.pop(0)))
-        outs.extend(_collect(*p) for p in pending)
+                cfg.match_score, cfg.mismatch_penalty, R, self.ref_prepad))
+        sealed.append(list(group))
+        for g in sealed:
+            _flush(g)
         cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
         length = cat["length"]
         matches = cat["matches"]

@@ -119,6 +119,10 @@ def main(argv=None) -> int:
     ap.add_argument("--flat", action="store_true",
                     help="use the flat single-index GenomeAligner "
                          "(genome must fit int32 coords, < 2.1Gbp)")
+    ap.add_argument("--xl", action="store_true",
+                    help="use the merged-index GenomeAlignerXL (single "
+                         "device, any size; requires index-stride >= 2 "
+                         "past 2.1Gbp)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args(argv)
     quiet = args.json_only
@@ -148,7 +152,20 @@ def main(argv=None) -> int:
     n_shards = args.shards or max(2, -(-L // (int32_safe // 2)))
 
     device_build = args.device_build or L > 200_000_000
-    if args.flat:
+    if args.xl:
+        from anchored_fusion_tpu.align.genome_xl import GenomeAlignerXL
+        t0 = time.time()
+        ga = GenomeAlignerXL(ref, cfg=cfg, verbose=not quiet)
+        jax.block_until_ready((ga.table, ga.pos_div, ga.tiles))
+        t_build = time.time() - t0
+        t_place = 0.0
+        kb = ga.k
+        n_shards = 1
+        dev_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                        for a in (ga.table, ga.pos_div, ga.tiles))
+        log(f"XL merged index built: kb={kb}, {dev_bytes/2**30:.2f} GiB in "
+            f"{t_build:.1f}s", quiet)
+    elif args.flat:
         from anchored_fusion_tpu.align.genome import GenomeAligner
         t0 = time.time()
         ga = GenomeAligner(ref, cfg=cfg, device_build=device_build)

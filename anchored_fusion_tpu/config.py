@@ -75,6 +75,20 @@ class AlignConfig:
     # k//2 when the index is dense (index_stride=1), else 1 (dense queries
     # against a sparse index — every genome k-mer hit is still reachable).
     genome_query_stride: int = 0
+    # Single-device shard routing: each read's full seeding+extension runs
+    # only on its ``shard_route_top`` most-promising shards, ranked by a
+    # cheap per-shard seed-evidence prepass (H-capped bucket sizes from two
+    # table gathers — no position gather, no sort).  0 = OFF (default, and
+    # the right setting on this runtime): measured on a 0.25Gbp/3-shard
+    # index, per-shard device compute is ~0.1ms/2048 reads while every
+    # result pull costs a ~70-100ms relay round trip, so skipping shards
+    # saves nothing and the extra prepass/subset round trips COST 1.4x
+    # (9.3k -> 6.7k reads/s) — and the count prepass mis-ranks ~0.5-2.5% of
+    # unique-region reads at genome-scale k-mer load factors (docs/
+    # PERFORMANCE.md round 4).  Available for compute-bound deployments
+    # (local chips, no relay) where S/route x less extension work wins.
+    # Mesh (multi-chip) runs ignore this: shards already run in parallel.
+    shard_route_top: int = 0
 
     def resolved_query_stride(self) -> int:
         if self.genome_query_stride:

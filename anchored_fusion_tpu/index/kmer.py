@@ -169,7 +169,7 @@ _PACK_CHUNK = 1 << 26
 
 
 def build_shard_index_device(codes: jax.Array, k: int, kb: int,
-                             stride: int = 1):
+                             stride: int = 1, keep_keys: bool = False):
     """Device-side shard index build: (keys_or_none, pos_sorted, table).
 
     The host build (numpy stable argsort) runs at ~2.5M keys/s on this
@@ -205,6 +205,11 @@ def build_shard_index_device(codes: jax.Array, k: int, kb: int,
         parts.append(_pack_keys_chunk(chunk, k, stride, n_c))
     keys = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     keys_sorted, pos_sorted, table = _sort_and_table(keys, k, kb, stride)
+    # ``keep_keys``: the XL merged-index build needs the sorted keys to
+    # compute per-slot destination offsets (align/genome_xl.py), even though
+    # lookups never read them at kb == k
+    if keep_keys:
+        return keys_sorted, pos_sorted, table
     return (None if kb == k else keys_sorted), pos_sorted, table
 
 
@@ -306,6 +311,37 @@ def lookup_hits(index_keys: jax.Array, index_pos: jax.Array,
     M = index_pos.shape[0]
     pos = index_pos[jnp.clip(idx, 0, M - 1)]
     return pos, ok
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def vote_diagonals2(rows: jax.Array, cols: jax.Array, valid: jax.Array,
+                    top_k: int):
+    """Top-K most-voted (row, col) diagonal PAIRS per read.
+
+    Two-key variant of :func:`vote_diagonals` for references whose diagonal
+    coordinate exceeds int32 (hg38 is 3.1e9): the diagonal is carried as a
+    (tile row, in-tile column) pair and sorted lexicographically by ONE fused
+    two-operand ``lax.sort``; the run-length vote logic treats a new run as a
+    change in EITHER key.  Returns (row (B, top_k), col (B, top_k),
+    votes (B, top_k)); invalid slots have votes == 0.
+    """
+    B, C = rows.shape
+    big = jnp.int32(2 ** 30)
+    r = jnp.where(valid, rows, big)
+    c = jnp.where(valid, cols, big)
+    r, c = jax.lax.sort((r, c), num_keys=2, is_stable=False)
+    new_run = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         (r[:, 1:] != r[:, :-1]) | (c[:, 1:] != c[:, :-1])], axis=1)
+    idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), r.shape)
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0), axis=1)
+    cnt = idx - run_start + 1
+    is_end = jnp.concatenate([new_run[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    score = jnp.where(is_end & (r != big), cnt, 0)
+    votes, where = jax.lax.top_k(score, top_k)
+    row = jnp.take_along_axis(r, where, axis=1)
+    col = jnp.take_along_axis(c, where, axis=1)
+    return row, col, votes
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))

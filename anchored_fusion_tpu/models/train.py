@@ -73,6 +73,31 @@ def _make_steps(cfg: FilterModelConfig):
     return model, tx, train_step, eval_step
 
 
+def param_shardings(mesh: Mesh, params, tp_min_width: int = 1024):
+    """Tensor-parallel parameter shardings over the mesh's SECOND axis.
+
+    Kernels whose widest dimension reaches ``tp_min_width`` (the transformer
+    feed-forward pair at the default 2048 width) shard that dimension over
+    mp; everything else replicates.  Same rule as the multichip dryrun
+    (__graft_entry__.dryrun_multichip), promoted to the production trainer
+    (SURVEY §2.3 item 5: keep the model-parallel axis available).
+    """
+    mp_ax = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    mp_size = mesh.shape[mp_ax] if mp_ax else 1
+
+    def spec(_path, leaf):
+        if (mp_size > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and max(leaf.shape) >= tp_min_width):
+            ax = int(np.argmax(leaf.shape))
+            if leaf.shape[ax] % mp_size == 0:
+                s = [None] * leaf.ndim
+                s[ax] = mp_ax
+                return NamedSharding(mesh, P(*s))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def train_filter_model(
     positives: Sequence[str],
     negatives: Sequence[str],
@@ -81,11 +106,15 @@ def train_filter_model(
     warm_start: Optional[TrainedFilter] = None,
     verbose: bool = True,
     mesh: Optional[Mesh] = None,
+    tp_min_width: int = 1024,
 ) -> TrainedFilter:
     """Train on junction strings; returns the best-AUC checkpoint.
 
     With ``mesh``, batches are dp-sharded over the mesh's first axis (data
-    parallelism; XLA inserts the gradient all-reduce).
+    parallelism; XLA inserts the gradient all-reduce) and parameters whose
+    widest kernel dimension reaches ``tp_min_width`` are tensor-parallel
+    over the mesh's second axis (:func:`param_shardings`); optimizer moments
+    inherit the parameter shardings through ``tx.init``.
     """
     cfg = cfg or FilterModelConfig()
     dp = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
@@ -124,13 +153,18 @@ def train_filter_model(
         variables = model.init(key, jnp.zeros((1, len_seq, cfg.input_dim)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_state = tx.init(params)
     if mesh is not None:
-        rep_put = lambda t: jax.tree.map(
+        # place params per the dp/TP shardings FIRST, then init the
+        # optimizer: optax's zeros_like moments inherit them automatically
+        p_shard = param_shardings(mesh, params, tp_min_width)
+        params = jax.tree.map(
+            lambda a, s: jax.device_put(np.asarray(a), s), params, p_shard)
+        batch_stats = jax.tree.map(
             lambda a: jax.device_put(np.asarray(a), rep)
-            if hasattr(a, "shape") else a, t)
-        params, batch_stats, opt_state = (rep_put(params), rep_put(batch_stats),
-                                          rep_put(opt_state))
+            if hasattr(a, "shape") else a, batch_stats)
+    # jitted init under a mesh: XLA propagates the param shardings into the
+    # zeros_like Adam moments (an eager zeros_like would re-place them)
+    opt_state = jax.jit(tx.init)(params) if mesh is not None else tx.init(params)
 
     bs = cfg.batch_size
     best_auc = 0.0

@@ -155,6 +155,14 @@ def _reduce_best(per_shard: dict):
 
 _SENTINEL_OFF = -(2 ** 30) // 2
 
+
+def _route_pad(m: int, cap: int) -> int:
+    """Pow2-bucketed routed-subset batch size (bounds compiled shapes)."""
+    b = 256
+    while b < m and b < cap:
+        b *= 2
+    return min(max(b, 256), max(cap, 256))
+
 # Per-dispatch seed workspace budget (bytes).  The dominant live set of one
 # dispatch is the (2B, Q*H) int32 diagonal matrix and its sort buffers
 # (~5 int32-sized temps); the chunk is sized so one dispatch stays under
@@ -201,6 +209,40 @@ def _reduce_shard_stack(parts):
     best = jnp.argmax(stk[:, 0, :], axis=0)                 # (B,)
     take = jnp.take_along_axis(stk, best[None, None, :], axis=0)[0]
     return jnp.concatenate([take, best[None].astype(jnp.int32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stride"))
+def _pack_query_kmers(reads, k: int, stride: int):
+    """Both-strand query k-mer keys, packed ONCE per chunk and shared by
+    every shard's seed-evidence count."""
+    flat, _ = both_strands(reads)
+    return pack_read_kmers_strided(flat, k, stride)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kb", "max_hits"))
+def _count_from_keys(rk, kvalid, tbl, k: int, kb: int, max_hits: int):
+    """Per-read seed evidence in ONE shard: sum over query k-mers of the
+    H-capped bucket size.
+
+    Two gathers into the (4^kb+1) bucket table — no position gather, no
+    diagonal sort — i.e. the cheap prepass VERDICT r3 #2 asked for.  With
+    kb == k (always true at genome scale) the count is exactly the number
+    of hit slots ``lookup_hits_table`` would fill; with kb < k buckets hold
+    several keys and the count over-estimates, which only ever routes a
+    read to MORE shards (recall-safe).  Forward and reverse evidence sum:
+    either strand's hits place the read in this shard."""
+    if kb < k:
+        bucket = (rk >> (2 * (k - kb))).astype(jnp.int32)
+    else:
+        bucket = rk
+    bucket = jnp.clip(bucket, 0, tbl.shape[0] - 2)
+    n = jnp.minimum(tbl[bucket + 1] - tbl[bucket], max_hits)
+    c = jnp.sum(jnp.where(kvalid, n, 0), axis=1)           # (2B,)
+    B = c.shape[0] // 2
+    return c[:B] + c[B:]                                   # (B,)
+
+
+_stack_counts = jax.jit(lambda *xs: jnp.stack(xs))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -328,7 +370,8 @@ class ShardedGenomeAligner:
             seqs = np.concatenate(
                 [seqs, np.full((Bp - B0, seqs.shape[1]), PAD, np.int8)], axis=0)
         B, R = seqs.shape
-        read_offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        read_offsets_np = read_kmer_offsets(R, self.k, self.stride)
+        read_offsets = jnp.asarray(read_offsets_np)
         body = functools.partial(
             _shard_best, k=self.k, kb=self.kb, stride=self.stride,
             max_hits=max_hits, top_k=top_k,
@@ -346,8 +389,14 @@ class ShardedGenomeAligner:
                 in_specs=(P(), P(), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
             red_fn = jax.jit(lambda ps: _stack_with_shard(_reduce_best(ps)))
+            # reads/offsets are placed ON THE MESH: a bare jnp.asarray would
+            # commit them to the DEFAULT device (the remote TPU while a CPU
+            # mesh runs — bench.py round-3 measured this as a 50x mp-axis
+            # collapse: every chunk crossed the axon relay twice)
+            rep = NamedSharding(self.mesh, P())
+            offs_rep = jax.device_put(read_offsets_np, rep)
             run = lambda sub: red_fn(fn(
-                jnp.asarray(sub), read_offsets, self.tbl,
+                jax.device_put(sub, rep), offs_rep, self.tbl,
                 self.keys, self.pos, self.seq))
         else:
             # single device: S rank-1 dispatches per chunk + one device-side
@@ -363,26 +412,61 @@ class ShardedGenomeAligner:
                     _shard_best_one(dev, read_offsets, *sh, **kw)
                     for sh in self.shard_list])
         # chunk the batch: one dispatch's seed workspace is bounded by the
-        # budget (dense query side under index_stride>1 grows Q ~6x), and a
-        # shallow in-flight pipeline bounds enqueued allocations
+        # budget (dense query side under index_stride>1 grows Q ~6x).  The
+        # cap is 8192: per-shard device compute is sub-ms while every result
+        # pull is a relay round trip, so fewer, larger chunks with GROUPED
+        # pulls (below) set the stage's throughput (docs/PERFORMANCE.md r4).
         Q = len(read_kmer_offsets(R, self.k, self.stride))
-        chunk = _seed_chunk(Q, max_hits, 2048)
-        pending = []
-        outs = []
-        for lo in range(0, B, chunk):
-            sub = seqs[lo:lo + chunk]
-            n_real = sub.shape[0]
-            if n_real < chunk and B > chunk:
-                sub = np.concatenate(
-                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
-            pending.append((n_real, run(sub)))
-            if len(pending) > _INFLIGHT_SHARDED:
-                n_r, st = pending.pop(0)
-                outs.append(np.asarray(st)[:, :n_r])
-        outs.extend(np.asarray(st)[:, :n_r] for n_r, st in pending)
-        arr = np.concatenate(outs, axis=1)
-        cat = {n: v[:B0] for n, v in unstack_result(arr[:-1]).items()}
-        shard = arr[-1][:B0]
+        chunk = _seed_chunk(Q, max_hits, 8192)
+        route = getattr(cfg, "shard_route_top", 0)
+        if self.mesh is None and 0 < route < self.n_shards:
+            # opt-in compute-side shard routing (see AlignConfig.
+            # shard_route_top: OFF by default — on this relay-bound runtime
+            # it costs round trips; kept for compute-bound deployments)
+            cat, shard = self._align_routed(seqs, B, B0, read_offsets,
+                                            chunk, top_k, max_hits, route)
+        else:
+            # grouped result pulls: stack up to _FLUSH chunk results
+            # device-side and cross the relay ONCE per group, double-
+            # buffered so queued work covers the pull (same pattern as
+            # align/aligner.align_to_reference)
+            group, sealed, outs = [], [], []
+
+            def _flush(g):
+                if not g:
+                    return
+                if len(g) == 1:
+                    arrs = [np.asarray(g[0][1])]
+                else:
+                    arrs = np.asarray(_stack_counts(*[st for _, st in g]))
+                for (n_r, _), a in zip(g, arrs):
+                    outs.append(a[:, :n_r])
+
+            def _push(n_real, st):
+                if group and group[-1][1].shape != st.shape:
+                    sealed.append(list(group))
+                    group.clear()
+                group.append((n_real, st))
+                if len(group) >= 8:
+                    sealed.append(list(group))
+                    group.clear()
+                while len(sealed) > 1:
+                    _flush(sealed.pop(0))
+
+            for lo in range(0, B, chunk):
+                sub = seqs[lo:lo + chunk]
+                n_real = sub.shape[0]
+                if n_real < chunk and B > chunk:
+                    sub = np.concatenate(
+                        [sub, np.full((chunk - n_real, R), PAD, np.int8)],
+                        axis=0)
+                _push(n_real, run(sub))
+            sealed.append(list(group))
+            for g in sealed:
+                _flush(g)
+            arr = np.concatenate(outs, axis=1)
+            cat = {n: v[:B0] for n, v in unstack_result(arr[:-1]).items()}
+            shard = arr[-1][:B0]
         # local -> global fold on HOST in int64 (see _shard_best docstring)
         off64 = self.host_offs[shard]
         cat["ref_start"] = cat["ref_start"].astype(np.int64) + off64
@@ -411,6 +495,87 @@ class ShardedGenomeAligner:
                                 min_score, 0.0, min_seg_len)
         return res
 
+    def _align_routed(self, seqs: np.ndarray, B: int, B0: int, read_offsets,
+                      chunk: int, top_k: int, max_hits: int, route: int):
+        """Single-device routed alignment: prepass-count, route, extend.
+
+        Phase 1 computes per-(read, shard) seed evidence with the two-gather
+        bucket-count kernel (query k-mers packed once per chunk, shared by
+        all shards) and pulls ONE stacked (chunks, S, chunk) array.  Phase 2
+        dispatches the full rank-1 seeding+extension program per shard on
+        only the reads routed there (pow2-padded subset batches, grouped
+        result pulls), then reduces on host with strict ``>`` in ascending
+        shard order — the same first-max-wins tie rule as the all-shards
+        reduce (`_reduce_shard_stack` argmax).
+        """
+        from anchored_fusion_tpu.align.aligner import RESULT_FIELDS
+        cfg = self.cfg
+        S = self.n_shards
+        R = seqs.shape[1]
+        kw = dict(k=self.k, kb=self.kb, stride=self.stride,
+                  max_hits=max_hits, top_k=top_k,
+                  match=cfg.match_score, mismatch=cfg.mismatch_penalty)
+        # ---- phase 1: seed-evidence counts ----
+        pend = []
+        for lo in range(0, B, chunk):
+            sub = seqs[lo:lo + chunk]
+            n_real = sub.shape[0]
+            if n_real < chunk and B > chunk:
+                sub = np.concatenate(
+                    [sub, np.full((chunk - n_real, R), PAD, np.int8)], axis=0)
+            rk, kv = _pack_query_kmers(jnp.asarray(sub), self.k, self.stride)
+            pend.append((n_real, _stack_counts(*[
+                _count_from_keys(rk, kv, self.tbl[s], self.k, self.kb,
+                                 max_hits)
+                for s in range(S)])))
+        if len(pend) == 1:
+            counts = np.asarray(pend[0][1])[:, :pend[0][0]]
+        else:                       # all full chunks share one shape
+            stk = np.asarray(_stack_counts(*[st for _, st in pend]))
+            counts = np.concatenate(
+                [stk[i][:, :n] for i, (n, _) in enumerate(pend)], axis=1)
+        counts = counts[:, :B0]                          # (S, B0)
+        # ---- routing: top `route` shards per read by evidence ----
+        order = np.argsort(-counts, axis=0, kind="stable")[:route]
+        # ---- phase 2: per-shard extension on routed subsets ----
+        disp = []                 # (shard, read_indices, n_real, device (9,m))
+        for s in range(S):
+            sel = np.nonzero((order == s).any(axis=0))[0]
+            for lo in range(0, len(sel), chunk):
+                part = sel[lo:lo + chunk]
+                m = len(part)
+                m_pad = _route_pad(m, chunk)
+                sub = np.full((m_pad, R), PAD, np.int8)
+                sub[:m] = seqs[part]
+                disp.append((s, part, m, _shard_best_one(
+                    jnp.asarray(sub), read_offsets, *self.shard_list[s],
+                    **kw)))
+        # grouped pulls: stack same-shape results, one transfer per group
+        by_shape = {}
+        for i, (_s, _p, _m, st) in enumerate(disp):
+            by_shape.setdefault(st.shape, []).append(i)
+        pulled = [None] * len(disp)
+        for idxs in by_shape.values():
+            if len(idxs) == 1:
+                pulled[idxs[0]] = np.asarray(disp[idxs[0]][3])
+            else:
+                stk = np.asarray(_stack_counts(*[disp[i][3] for i in idxs]))
+                for j, i in enumerate(idxs):
+                    pulled[i] = stk[j]
+        # host reduce, ascending shard order (disp is built shard-ascending)
+        best = {n: np.zeros(B0, np.int32) for n in RESULT_FIELDS}
+        shard = np.zeros(B0, np.int32)
+        best_score = np.full(B0, -1, np.int64)
+        for (s, part, m, _), arr9 in zip(disp, pulled):
+            sc = arr9[0, :m].astype(np.int64)
+            upd = sc > best_score[part]
+            tgt = part[upd]
+            best_score[tgt] = sc[upd]
+            for i, n in enumerate(RESULT_FIELDS):
+                best[n][tgt] = arr9[i, :m][upd]
+            shard[tgt] = s
+        return best, shard
+
     def align_multi(self, seqs: np.ndarray, min_score: int = 20,
                     min_identity: float = 0.0, min_seg_len: int = 10,
                     top_k: int = 8, max_hits: Optional[int] = None) -> MultiHits:
@@ -434,7 +599,8 @@ class ShardedGenomeAligner:
                 [seqs, np.full((Bp - B0, seqs.shape[1]), PAD, np.int8)], axis=0)
         B, R = seqs.shape
         read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
-        read_offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        read_offsets_np = read_kmer_offsets(R, self.k, self.stride)
+        read_offsets = jnp.asarray(read_offsets_np)
         body = functools.partial(
             _shard_multi, k=self.k, kb=self.kb, stride=self.stride,
             max_hits=max_hits, top_k=top_k,
@@ -451,7 +617,11 @@ class ShardedGenomeAligner:
                 shard_fn, mesh=self.mesh,
                 in_specs=(P(), P(), P(mp), P(mp), P(mp), P(mp)),
                 out_specs=P(mp)))
-            run = lambda sub: fn(jnp.asarray(sub), read_offsets, self.tbl,
+            # mesh placement for reads/offsets (see align(): a bare
+            # jnp.asarray commits to the default device, not the mesh)
+            rep = NamedSharding(self.mesh, P())
+            offs_rep = jax.device_put(read_offsets_np, rep)
+            run = lambda sub: fn(jax.device_put(sub, rep), offs_rep, self.tbl,
                                  self.keys, self.pos, self.seq)
             collect = np.asarray                       # (S, 6, 2B, k)
         else:
@@ -462,15 +632,18 @@ class ShardedGenomeAligner:
 
             def run(sub):
                 dev = jnp.asarray(sub)
-                return [_shard_multi_one(dev, read_offsets, *sh, **kw)
-                        for sh in self.shard_list]
+                # device-side stack: the S per-shard results cross the relay
+                # as ONE (S, 6, 2B, k) array, not S separate round trips
+                return _stack_counts(*[
+                    _shard_multi_one(dev, read_offsets, *sh, **kw)
+                    for sh in self.shard_list])
 
-            collect = lambda st: np.stack([np.asarray(x) for x in st])
+            collect = np.asarray
         # chunked dispatch (HBM peak scales with B x S otherwise), chunk
         # sized to the workspace budget; collect keeps (chunk_lo, n_real,
         # stacked) and flattens per shard below
         Q = len(read_kmer_offsets(R, self.k, self.stride))
-        chunk = _seed_chunk(Q, max_hits, 1024)
+        chunk = _seed_chunk(Q, max_hits, 4096)
         pending = []
         collected = []
         for lo in range(0, B, chunk):

@@ -86,13 +86,22 @@ class FusionPipeline:
                 cfg=self.cfg.align, mesh=mesh)
         elif genome.total_length > int32_safe:
             # hg38-scale genomes exceed the flat index's int32 coordinate
-            # range; the sharded index runs fine on a single device via its
-            # vmap fallback (shard-local int32 coords, host int64 fold)
-            from anchored_fusion_tpu.parallel.sharded_genome import (
-                ShardedGenomeAligner)
-            n = -(-genome.total_length // (int32_safe // 2))
-            self.genome_aligner = ShardedGenomeAligner(
-                genome, n_shards=max(2, int(n)), cfg=self.cfg.align)
+            # range.  With a strided index (the hg38 operating point) the XL
+            # merged-index aligner covers the whole genome in ONE query per
+            # chunk — ~2.6x the per-chip throughput of looping shard
+            # programs (docs/PERFORMANCE.md round 4); a dense index past
+            # 2.1Gbp cannot store stride-scaled positions in int32, so it
+            # keeps the per-shard loop.
+            stride = getattr(self.cfg.align, "index_stride", 1)
+            if genome.total_length // max(stride, 1) < int32_safe:
+                from anchored_fusion_tpu.align.genome_xl import GenomeAlignerXL
+                self.genome_aligner = GenomeAlignerXL(genome, self.cfg.align)
+            else:
+                from anchored_fusion_tpu.parallel.sharded_genome import (
+                    ShardedGenomeAligner)
+                n = -(-genome.total_length // (int32_safe // 2))
+                self.genome_aligner = ShardedGenomeAligner(
+                    genome, n_shards=max(2, int(n)), cfg=self.cfg.align)
         else:
             self.genome_aligner = GenomeAligner(genome, self.cfg.align)
         self.cache = StageCache(cache_dir)

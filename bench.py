@@ -83,26 +83,40 @@ def run_scaling(seqs, anchor_codes, surrogate) -> dict:
         v = out["anchored"].get(f"dp{dp}")
         if base and v:
             out["anchored"][f"efficiency_dp{dp}"] = round(v / (dp * base), 3)
+    # Genome stage, PRODUCTION multi-chip layout: index REPLICATED on every
+    # device, reads dp-sharded (a strided whole-genome index fits one v5e
+    # chip — docs/PERFORMANCE.md round 4 — so read data parallelism beats
+    # splitting the index; zero collectives, records stay dp-sharded).
     from anchored_fusion_tpu.align.genome import GenomeAligner
-    for mp in (1, 2, 4, 8):
-        if mp > len(cpus):
+    for dp in (1, 2, 4, 8):
+        if dp > len(cpus):
             break
-        if mp == 1:
-            # production single-device genome path is the mp baseline — but it
-            # targets the default jax device; pin it to one cpu for apples
+        if dp == 1:
             with jax.default_device(cpus[0]):
                 ga = GenomeAligner(surrogate, cfg=cfg)
                 ga.align(sub[:512])  # warm/compile
                 t0 = time.time()
                 ga.align(sub[:512])
         else:
-            mesh = make_mesh((1, mp), devices=cpus[:mp])
-            ga = ShardedGenomeAligner(surrogate, n_shards=mp, cfg=cfg,
-                                      mesh=mesh)
+            mesh = make_mesh((dp, 1), devices=cpus[:dp])
+            ga = GenomeAligner(surrogate, cfg=cfg, mesh=mesh)
             ga.align(sub[:512])  # warm/compile
             t0 = time.time()
             ga.align(sub[:512])
-        out["genome"][f"mp{mp}"] = round(512 / (time.time() - t0), 1)
+        out["genome"][f"dp{dp}"] = round(512 / (time.time() - t0), 1)
+    base = out["genome"].get("dp1")
+    for dp in (2, 4, 8):
+        v = out["genome"].get(f"dp{dp}")
+        if base and v:
+            out["genome"][f"efficiency_dp{dp}"] = round(v / (dp * base), 3)
+    # mp is the CAPACITY axis (genomes past one device's HBM): check that
+    # splitting the index in two keeps per-device work near parity
+    mesh = make_mesh((1, 2), devices=cpus[:2])
+    ga = ShardedGenomeAligner(surrogate, n_shards=2, cfg=cfg, mesh=mesh)
+    ga.align(sub[:512])  # warm/compile
+    t0 = time.time()
+    ga.align(sub[:512])
+    out["genome"]["mp2_capacity"] = round(512 / (time.time() - t0), 1)
     return out
 
 

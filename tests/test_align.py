@@ -11,6 +11,23 @@ from tests.conftest import random_dna
 import jax.numpy as jnp
 
 
+@pytest.fixture()
+def rng(request):
+    """Order-independent per-test rng (overrides the session fixture).
+
+    The session-scoped rng's stream position depends on which test FILES ran
+    before this one, so random fixture data silently changed with pytest
+    selection — test_align_chimeric_read_soft_clips once drew a junction
+    whose first partner base equaled the next reference base, legally
+    extending the alignment by 1 and failing the exact-coordinate assert.
+    A per-test seed derived from the test name keeps every test's data fixed
+    under ANY test selection or ordering."""
+    import hashlib
+    h = int.from_bytes(hashlib.blake2b(
+        request.node.name.encode(), digest_size=4).digest(), "big")
+    return np.random.default_rng(h)
+
+
 def test_diag_match_counts_exact(rng):
     ref = random_dna(rng, 300)
     read = ref[100:150]
@@ -121,6 +138,10 @@ def test_align_chimeric_read_soft_clips(rng):
     """A fusion-like read: left 40bp from refA, right 61bp elsewhere."""
     ref = random_dna(rng, 3000)
     other = random_dna(rng, 200)
+    # the partner's first base must differ from ref[1040], else the anchored
+    # segment legitimately extends past the engineered junction
+    if other[0] == ref[1040]:
+        other = "ACGT"["ACGT".index(other[0]) - 1] + other[1:]
     read = ref[1000:1040] + other[:61]
     reads = encode_ascii(read, length=128)[None]
     res = align_to_reference(reads, encode_ascii(ref), min_score=20)

@@ -112,6 +112,38 @@ def dataclasses_replace_epochs(cfg, n):
     return dataclasses.replace(cfg, num_epochs=n)
 
 
+def test_filter_train_tensor_parallel_matches_single_device():
+    """dp x mp training — FF kernels tensor-parallel over the mesh's second
+    axis (models/train.param_shardings, the dryrun rule promoted to the
+    production trainer, VERDICT r3 #7) — follows the single-device AUC
+    trajectory.  tp_min_width=64 makes the rule bite at test widths (the
+    production default 1024 shards the 2048-wide transformer FF pair)."""
+    from anchored_fusion_tpu.models.train import param_shardings
+    from anchored_fusion_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(3)
+    pos, neg = _mk_lines(rng, 120, True), _mk_lines(rng, 120, False)
+    cfg = dataclasses_replace_epochs(SMALL_CFG, 3)
+    single = train_filter_model(pos, neg, cfg, verbose=False)
+    mesh = make_mesh((2, 2), devices=jax.devices("cpu")[:4])
+    sharded = train_filter_model(pos, neg, cfg, verbose=False, mesh=mesh,
+                                 tp_min_width=64)
+    # the sharding rule actually shards something at this width
+    model = FilterModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 201, cfg.input_dim)))["params"]
+    specs = param_shardings(mesh, params, tp_min_width=64)
+    assert any(s.spec != jax.sharding.PartitionSpec()
+               for s in jax.tree.leaves(specs)), "no kernel was TP-sharded"
+    probe = _mk_lines(rng, 32, True) + _mk_lines(rng, 32, False)
+    s1 = np.asarray(score_junctions(single, probe))
+    s2 = np.asarray(score_junctions(sharded, probe))
+    # TP reduces the FF matmuls in mp partial products (different float
+    # accumulation order than one device), so the drift after 3 epochs is
+    # slightly wider than the pure-DP case
+    np.testing.assert_allclose(s1, s2, atol=5e-2)
+    assert abs(single.best_auc - sharded.best_auc) < 0.05
+
+
 def test_bilstm_variant_trains():
     from anchored_fusion_tpu.models.bilstm import train_bilstm, encode_61
     rng = np.random.default_rng(1)
