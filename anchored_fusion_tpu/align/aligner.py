@@ -91,6 +91,57 @@ _FLUSH_CHUNKS = 8
 # (arity, shape), persisted by the compilation cache.
 _stack_group = jax.jit(lambda *xs: jnp.stack(xs))
 
+
+class GroupedPuller:
+    """Grouped device->host result pulls, shared by every chunked aligner.
+
+    Chunk results (same-shape stacked device arrays) accumulate into groups
+    of ``flush_chunks``; each full group is stacked DEVICE-side (one jitted
+    ``jnp.stack``) and crosses the relay as ONE array.  Groups are
+    double-buffered: the newest sealed group stays un-pulled so the device
+    always has queued work during a transfer.  ``collect(arr, n_real)``
+    post-processes each chunk's pulled host array (callers slice padding off
+    and/or unstack fields).  One implementation instead of four divergent
+    copies (ADVICE r4), all honouring ``_FLUSH_CHUNKS``.
+    """
+
+    def __init__(self, collect, flush_chunks: int = _FLUSH_CHUNKS):
+        self._collect = collect
+        self._flush_chunks = flush_chunks
+        self._group = []          # (n_real, stacked) same-shape chunks
+        self._sealed = []         # full groups dispatched, not yet pulled
+        self.outs = []
+
+    def _flush(self, g):
+        if not g:
+            return
+        if len(g) == 1:
+            arrs = [np.asarray(g[0][1])]
+        else:
+            arrs = np.asarray(_stack_group(*[st for _, st in g]))
+        for (n_real, _), a in zip(g, arrs):
+            self.outs.append(self._collect(a, n_real))
+
+    def push(self, n_real, st):
+        if self._group and self._group[-1][1].shape != st.shape:
+            self._sealed.append(self._group)
+            self._group = []
+        self._group.append((n_real, st))
+        if len(self._group) >= self._flush_chunks:
+            self._sealed.append(self._group)
+            self._group = []
+        while len(self._sealed) > 1:
+            self._flush(self._sealed.pop(0))
+
+    def finish(self):
+        """Flush everything still pending; returns the collected list."""
+        self._sealed.append(self._group)
+        self._group = []
+        for g in self._sealed:
+            self._flush(g)
+        self._sealed = []
+        return self.outs
+
 # Genome-scale references are stored prepadded with this many PAD codes on
 # each side so diagonal extension can slice windows directly instead of
 # materializing a PAD-guarded copy of the whole genome per dispatch (which
@@ -564,31 +615,10 @@ def align_to_reference(
     # chunk), double-buffered so the device still has dispatched work queued
     # while a group transfers.  Live device buffers stay bounded at ~2 groups
     # however many chunks a multi-million-read batch splits into.
-    group = []        # (n_real, stacked) same-shape chunks awaiting a pull
-    sealed = []       # full groups dispatched but not yet pulled
-    outs = []
-
-    def _flush(g):
-        if not g:
-            return
-        if len(g) == 1:
-            arrs = [np.asarray(g[0][1])]
-        else:
-            arrs = np.asarray(_stack_group(*[st for _, st in g]))
-        for (n_real, _), a in zip(g, arrs):
-            outs.append({n: v[:n_real]
-                         for n, v in unstack_result(a).items()})
-
-    def _push(n_real, st):
-        if group and group[-1][1].shape != st.shape:
-            sealed.append(list(group))
-            group.clear()
-        group.append((n_real, st))
-        if len(group) >= _FLUSH_CHUNKS:
-            sealed.append(list(group))
-            group.clear()
-        while len(sealed) > 1:
-            _flush(sealed.pop(0))
+    puller = GroupedPuller(
+        lambda a, n_real: {n: v[:n_real]
+                           for n, v in unstack_result(a).items()})
+    _push = puller.push
 
     for lo in range(0, B, chunk):
         sub = seqs[lo:lo + chunk]
@@ -615,9 +645,7 @@ def align_to_reference(
             _push(n_real, _align_core_stacked(
                 sub, ref, W, W2, top_k, cfg.match_score, cfg.mismatch_penalty,
                 stride))
-    sealed.append(list(group))
-    for g in sealed:
-        _flush(g)
+    outs = puller.finish()
     if not outs:
         z = lambda dt: np.zeros(0, dt)
         return AlignmentResult(z(np.int32), z(np.int8), z(np.int32), z(np.int32),

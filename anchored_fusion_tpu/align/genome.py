@@ -190,30 +190,11 @@ class GenomeAligner:
         # grouped result pulls (same pattern as aligner.align_to_reference):
         # each pull is a relay round trip while the per-chunk result is tiny,
         # so up to 8 chunk results stack device-side and cross as one array
-        from anchored_fusion_tpu.align.aligner import _stack_group
-        group, sealed, outs = [], [], []
-
-        def _flush(g):
-            if not g:
-                return
-            if len(g) == 1:
-                arrs = [np.asarray(g[0][1])]
-            else:
-                arrs = np.asarray(_stack_group(*[st for _, st in g]))
-            for (n_r, _), a in zip(g, arrs):
-                outs.append({n: v[:n_r]
-                             for n, v in unstack_result(a).items()})
-
-        def _push(n_real, st):
-            if group and group[-1][1].shape != st.shape:
-                sealed.append(list(group))
-                group.clear()
-            group.append((n_real, st))
-            if len(group) >= 8:
-                sealed.append(list(group))
-                group.clear()
-            while len(sealed) > 1:
-                _flush(sealed.pop(0))
+        from anchored_fusion_tpu.align.aligner import GroupedPuller
+        puller = GroupedPuller(
+            lambda a, n_r: {n: v[:n_r]
+                            for n, v in unstack_result(a).items()})
+        _push = puller.push
 
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
@@ -232,9 +213,7 @@ class GenomeAligner:
                 self.index.keys_sorted, self.index.pos_sorted, offsets,
                 self.k, self.index.kb, self.stride, max_hits, top_k,
                 cfg.match_score, cfg.mismatch_penalty, R, self.ref_prepad))
-        sealed.append(list(group))
-        for g in sealed:
-            _flush(g)
+        outs = puller.finish()
         cat = {n: np.concatenate([o[n] for o in outs]) for n in outs[0]}
         length = cat["length"]
         matches = cat["matches"]

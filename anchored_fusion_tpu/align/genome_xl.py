@@ -49,13 +49,16 @@ from anchored_fusion_tpu.index.kmer import (
 from anchored_fusion_tpu.ops.encode import PAD
 from anchored_fusion_tpu.ops import kadane
 from anchored_fusion_tpu.align.aligner import (
-    AlignmentResult, MultiHits, both_strands, unstack_result, _stack_group)
+    AlignmentResult, MultiHits, both_strands)
 
 
 # Tile geometry: C columns of genome per tile row + halo on each side so any
-# R-wide window whose diagonal lands in a row slices wholly inside it.
+# R-wide window whose diagonal lands in a row slices wholly inside it.  The
+# halo bounds the widest admissible query (align/_check_width): 768 matches
+# aligner.REF_PREPAD — junction-consensus batches reach 512 bp — and costs
+# only ~1.5KB per 16M-column tile row.
 TILE_C = 1 << 24
-TILE_HALO = 256
+TILE_HALO = 768
 
 
 def build_tiles_host(codes: np.ndarray, C: int = TILE_C,
@@ -373,6 +376,16 @@ class GenomeAlignerXL:
                                         halo=self.halo, R=R)
             jax.block_until_ready(out)
 
+    def _check_width(self, R: int):
+        """Queries wider than the tile halo would get silently truncated /
+        shifted extension windows (``start`` clips to [0, W-R]) — raise
+        instead (ADVICE r4; mirrors aligner.py's ref_prepad width check)."""
+        if R > self.halo:
+            raise ValueError(
+                f"query width {R} exceeds the tile halo {self.halo}; "
+                "construct GenomeAlignerXL with halo >= the widest query "
+                "batch (consensus batches reach 512)")
+
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_identity: float = 0.0, min_seg_len: Optional[int] = None,
               top_k: Optional[int] = None, max_hits: Optional[int] = None,
@@ -390,29 +403,11 @@ class GenomeAlignerXL:
             seqs = np.concatenate(
                 [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
         B, R = seqs.shape
+        self._check_width(R)
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
-        group, sealed, outs = [], [], []
-
-        def _flush(g):
-            if not g:
-                return
-            if len(g) == 1:
-                arrs = [np.asarray(g[0][1])]
-            else:
-                arrs = np.asarray(_stack_group(*[st for _, st in g]))
-            for (n_r, _), a in zip(g, arrs):
-                outs.append(a[:, :n_r])
-
-        def _push(n_real, st):
-            if group and group[-1][1].shape != st.shape:
-                sealed.append(list(group))
-                group.clear()
-            group.append((n_real, st))
-            if len(group) >= 8:
-                sealed.append(list(group))
-                group.clear()
-            while len(sealed) > 1:
-                _flush(sealed.pop(0))
+        from anchored_fusion_tpu.align.aligner import GroupedPuller
+        puller = GroupedPuller(lambda a, n_r: a[:, :n_r])
+        _push = puller.push
 
         for lo in range(0, B, chunk):
             sub = seqs[lo:lo + chunk]
@@ -433,10 +428,7 @@ class GenomeAlignerXL:
                 packed, self.tiles, rows_c, cols_c, top_k=top_k,
                 match=cfg.match_score, mismatch=cfg.mismatch_penalty,
                 halo=self.halo, R=R))
-        sealed.append(list(group))
-        for g in sealed:
-            _flush(g)
-        arr = np.concatenate(outs, axis=1)
+        arr = np.concatenate(puller.finish(), axis=1)
         f = {n: arr[i] for i, n in enumerate(XL_FIELDS)}
         base = f["row"].astype(np.int64) * self.C
         length = f["length"]
@@ -477,6 +469,7 @@ class GenomeAlignerXL:
             seqs = np.concatenate(
                 [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
         B, R = seqs.shape
+        self._check_width(R)
         read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
         offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
         pending = []

@@ -147,6 +147,34 @@ def _query_len(ops) -> int:
     return sum(n for n, op in ops if op in "SMI=X")
 
 
+def _ref_offsets(ops, t0: int, t1: int):
+    """Reference offsets (from SAM POS) of normalized-query positions t0/t1.
+
+    Walks the original CIGAR in the normalized-query frame produced by
+    :func:`normalize_cigar` (H dropped, I cut, D padded into the read): M/D
+    consume query+ref, N consumes ref ONLY — so an intron skip inside the
+    chosen M run advances the reference without advancing the query (ADVICE
+    r4: ``pos + mlen - 1`` understated ref_end by the intron span for
+    spliced STAR-style alignments).  S consumes query only; I/H/P neither.
+    """
+    nq = rq = 0
+    r0 = r1 = None
+    for n, op in ops:
+        op = "M" if op in "=X" else op
+        if op in "MD":
+            if nq <= t0 < nq + n:
+                r0 = rq + (t0 - nq)
+            if nq <= t1 < nq + n:
+                r1 = rq + (t1 - nq)
+            nq += n
+            rq += n
+        elif op == "N":
+            rq += n
+        elif op == "S":
+            nq += n
+    return r0, r1
+
+
 def multihits_from_sam(path: str, genome):
     """Parse a SAM text file into flat :class:`MultiHits` records.
 
@@ -183,7 +211,16 @@ def multihits_from_sam(path: str, genome):
         if flag & SAM_FLAG_UNMAPPED or cigar in ("*", ""):
             continue
         ops = parse_cigar(cigar)
-        L = _query_len(ops)
+        # full-read frame: hard clips consume read bases bwa's SA-tagged
+        # supplementary records drop from SEQ (ADVICE r4 — clipped-frame
+        # coords vs full read_lens misclassified MS/SM junction sides)
+        h_total = sum(n for n, op in ops if op == "H")
+        h_lead = 0
+        for n, op in ops:
+            if op != "H":
+                break
+            h_lead += n
+        L = _query_len(ops) + h_total
         if L == 0:
             continue
         if name not in name_to_id:
@@ -196,12 +233,14 @@ def multihits_from_sam(path: str, genome):
             continue
         # normalize to the <=3-op S/M/S frame ('*' SEQ of secondary records
         # only needs a correctly-sized placeholder for the N-padding algebra)
-        res, _ = normalize_cigar(cigar, seq if seq != "*" else "N" * L)
+        res, _ = normalize_cigar(cigar, seq if seq != "*" else "N" * (L - h_total))
         m_runs = [r for r in res if r[2] == "M"]
         if not m_runs:
             continue
         cum_end, mlen, _ = max(m_runs, key=lambda r: r[1])
-        s0, e0 = cum_end - mlen, cum_end - 1          # 0-based incl, SEQ frame
+        # 0-based inclusive, full-read frame (leading-H shift); reverse flips
+        # through the full length so trailing H lands on the other side too
+        s0, e0 = cum_end - mlen + h_lead, cum_end - 1 + h_lead
         rev = bool(flag & SAM_FLAG_REVERSE)
         qs, qe = ((L - 1 - e0, L - 1 - s0) if rev else (s0, e0))
         nm = None
@@ -220,8 +259,11 @@ def multihits_from_sam(path: str, genome):
         qs_l.append(qs)
         qe_l.append(qe)
         g = genome.to_global(rname, pos1)
-        rs_l.append(g)
-        re_l.append(g + mlen - 1)
+        # ref span of the chosen run from the ORIGINAL ops: N (intron) bases
+        # consume reference the normalized frame dropped (_ref_offsets)
+        r0, r1 = _ref_offsets(ops, cum_end - mlen, cum_end - 1)
+        rs_l.append(g + (r0 if r0 is not None else 0))
+        re_l.append(g + (r1 if r1 is not None else mlen - 1))
     mh = MultiHits(
         read_id=np.asarray(rid_l, np.int32),
         strand=np.asarray(strand_l, np.int8),

@@ -462,32 +462,11 @@ class ShardedGenomeAligner:
             cat, shard = self._align_routed(seqs, B, B0, read_offsets,
                                             chunk, top_k, max_hits, route)
         else:
-            # grouped result pulls: stack up to _FLUSH chunk results
+            # grouped result pulls: stack up to _FLUSH_CHUNKS chunk results
             # device-side and cross the relay ONCE per group, double-
-            # buffered so queued work covers the pull (same pattern as
-            # align/aligner.align_to_reference)
-            group, sealed, outs = [], [], []
-
-            def _flush(g):
-                if not g:
-                    return
-                if len(g) == 1:
-                    arrs = [np.asarray(g[0][1])]
-                else:
-                    arrs = np.asarray(_stack_counts(*[st for _, st in g]))
-                for (n_r, _), a in zip(g, arrs):
-                    outs.append(a[:, :n_r])
-
-            def _push(n_real, st):
-                if group and group[-1][1].shape != st.shape:
-                    sealed.append(list(group))
-                    group.clear()
-                group.append((n_real, st))
-                if len(group) >= 8:
-                    sealed.append(list(group))
-                    group.clear()
-                while len(sealed) > 1:
-                    _flush(sealed.pop(0))
+            # buffered so queued work covers the pull (aligner.GroupedPuller)
+            from anchored_fusion_tpu.align.aligner import GroupedPuller
+            puller = GroupedPuller(lambda a, n_r: a[:, :n_r])
 
             for lo in range(0, B, chunk):
                 sub = seqs[lo:lo + chunk]
@@ -496,11 +475,8 @@ class ShardedGenomeAligner:
                     sub = np.concatenate(
                         [sub, np.full((chunk - n_real, R), PAD, np.int8)],
                         axis=0)
-                _push(n_real, run(sub))
-            sealed.append(list(group))
-            for g in sealed:
-                _flush(g)
-            arr = np.concatenate(outs, axis=1)
+                puller.push(n_real, run(sub))
+            arr = np.concatenate(puller.finish(), axis=1)
             cat = {n: v[:B0] for n, v in unstack_result(arr[:-1]).items()}
             shard = arr[-1][:B0]
         # local -> global fold on HOST in int64 (see _shard_best docstring)
