@@ -142,6 +142,19 @@ def _read_sam_tagged(path: str):
             yield a[0], int(a[1]), a[2], int(a[3]), a[5], a[9], a[11:]
 
 
+def _read_alignment_records(path: str):
+    """SAM text or BAM/BGZF, sniffed by magic — one record-tuple stream.
+
+    Users point ``mine_negative_junctions_sam`` (and anything else built on
+    :func:`multihits_from_sam`) at their existing whole-genome archive in
+    either format; the reference consumes a BAM here (functions.py:1425).
+    """
+    from anchored_fusion_tpu.io.bam import is_bam, read_bam_records
+    if is_bam(path):
+        return read_bam_records(path)
+    return _read_sam_tagged(path)
+
+
 def _query_len(ops) -> int:
     """Query length from a parsed CIGAR (S/M/I/=/X consume query)."""
     return sum(n for n, op in ops if op in "SMI=X")
@@ -193,7 +206,7 @@ def multihits_from_sam(path: str, genome):
     contigs the genome doesn't contain.
 
     Args:
-      path:   SAM text file (uncompressed).
+      path:   SAM text file or BAM/BGZF archive (sniffed by magic).
       genome: io.fasta.Reference providing contig -> global offsets.
     Returns:
       (names, read_lens, MultiHits) — ``names[i]``/``read_lens[i]`` describe
@@ -207,7 +220,8 @@ def multihits_from_sam(path: str, genome):
     names, read_lens = [], []
     rid_l, strand_l, score_l, match_l, len_l = [], [], [], [], []
     qs_l, qe_l, rs_l, re_l = [], [], [], []
-    for name, flag, rname, pos1, cigar, seq, tags in _read_sam_tagged(path):
+    for name, flag, rname, pos1, cigar, seq, tags in \
+            _read_alignment_records(path):
         if flag & SAM_FLAG_UNMAPPED or cigar in ("*", ""):
             continue
         ops = parse_cigar(cigar)
