@@ -289,7 +289,7 @@ class GenomeAlignerXL:
 
     def __init__(self, reference: Reference, cfg: Optional[AlignConfig] = None,
                  tile_c: int = TILE_C, halo: int = TILE_HALO,
-                 verbose: bool = False):
+                 verbose: bool = False, mesh=None):
         self.cfg = cfg or AlignConfig()
         self.reference = reference
         self.k = self.cfg.genome_kmer
@@ -304,9 +304,28 @@ class GenomeAlignerXL:
             raise ValueError("tile_c must be a multiple of index_stride")
         self.C = tile_c
         self.halo = halo
+        # Multi-chip operating point (VERDICT r4 #8): the strided hg38 index
+        # FITS one chip, so across a mesh the index REPLICATES on every
+        # device and the read batch shards over ALL mesh axes — per-device
+        # gathers ∝ B/devices, zero collectives on the hot path (the same
+        # layout the dp scaling model uses; ShardedGenomeAligner remains the
+        # CAPACITY fallback for indexes too big per device).
+        self.mesh = mesh
+        self._rep_sh = self._data_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._rep_sh = NamedSharding(mesh, P())
+            self._data_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         codes = np.asarray(reference.seq)
-        self.table, self.pos_div = build_index_xl(
-            codes, self.k, self.index_stride, verbose=verbose)
+        import contextlib
+        build_ctx = (jax.default_device(mesh.devices.flat[0])
+                     if mesh is not None else contextlib.nullcontext())
+        with build_ctx:
+            self.table, self.pos_div = build_index_xl(
+                codes, self.k, self.index_stride, verbose=verbose)
+        if mesh is not None:
+            self.table = jax.device_put(self.table, self._rep_sh)
+            self.pos_div = jax.device_put(self.pos_div, self._rep_sh)
         jax.block_until_ready((self.table, self.pos_div))
         # COMPILATION is the memory hazard at hg38 scale, not execution: the
         # remote toolchain's compile of a program over a multi-GB operand
@@ -321,7 +340,9 @@ class GenomeAlignerXL:
         big = reference.total_length > 1_000_000_000
         if big:
             self._warm_seed()
-        self.tiles = jnp.asarray(build_tiles_host(codes, tile_c, halo))
+        tiles_host = build_tiles_host(codes, tile_c, halo)
+        self.tiles = (jnp.asarray(tiles_host) if mesh is None
+                      else jax.device_put(tiles_host, self._rep_sh))
         jax.block_until_ready(self.tiles)
         if big:
             self._warm_extend()
@@ -331,34 +352,50 @@ class GenomeAlignerXL:
     def _warm_inputs(self, Bp: int):
         from anchored_fusion_tpu.ops.encode import pack_nibbles
         R = self.cfg.max_read_len
-        reads = np.full((Bp, R), PAD, np.int8)
-        return (pack_nibbles(reads),
-                jnp.asarray(read_kmer_offsets(R, self.k, self.stride)), R)
+        packed = pack_nibbles(np.full((Bp, R), PAD, np.int8))
+        offs = read_kmer_offsets(R, self.k, self.stride)
+        if self.mesh is not None:
+            packed = jax.device_put(packed, self._data_sh)
+            offs = jax.device_put(offs, self._rep_sh)
+        else:
+            offs = jnp.asarray(offs)
+        return packed, offs, R
 
     def _warm_seed(self):
         cfg = self.cfg
-        # (batch, top_k) pairs: best-hit chunks at top_diagonals, all-hits
-        # (align_multi) chunks at its default top_k=8
-        combos = [(Bp, cfg.top_diagonals) for Bp in self._WARM_BATCHES]
-        combos += [(Bp, 8) for Bp in (1024, 4096)]
-        for Bp, tk in combos:
+        # (batch, top_k, max_hits) triples: best-hit chunks at
+        # top_diagonals, all-hits (align_multi) chunks at its default
+        # top_k=8; with two-pass seeding also the pass-1 operating point at
+        # every batch bucket and the rescue point at the small buckets
+        # (_xl_bucket pads rescue subsets to 1024/4096)
+        H = cfg.max_hits_per_kmer
+        combos = [(Bp, cfg.top_diagonals, H) for Bp in self._WARM_BATCHES]
+        combos += [(Bp, 8, H) for Bp in (1024, 4096)]
+        if getattr(cfg, "xl_two_pass", False):
+            combos += [(Bp, cfg.xl_pass1_top_k, cfg.xl_pass1_hits)
+                       for Bp in self._WARM_BATCHES]
+            combos += [(Bp, cfg.top_diagonals, cfg.xl_rescue_hits)
+                       for Bp in (1024, 4096)]
+        for Bp, tk, mh in combos:
             packed, offs, R = self._warm_inputs(Bp)
             r, c = _xl_seed_core(
                 packed, self.table, self.pos_div, offs, k=self.k, kb=self.k,
                 stride_idx=self.index_stride, stride_q=self.stride,
-                max_hits=cfg.max_hits_per_kmer, top_k=tk,
+                max_hits=mh, top_k=tk,
                 T=-(-self.reference.total_length // self.C), C=self.C, R=R)
             jax.block_until_ready((r, c))
 
     def _warm_extend(self):
         cfg = self.cfg
-        for Bp in self._WARM_BATCHES:
+        combos = [(Bp, cfg.top_diagonals) for Bp in self._WARM_BATCHES]
+        if getattr(cfg, "xl_two_pass", False):
+            combos += [(Bp, cfg.xl_pass1_top_k) for Bp in self._WARM_BATCHES]
+        for Bp, tk in combos:
             packed, offs, R = self._warm_inputs(Bp)
-            rows = jnp.full((2 * Bp, cfg.top_diagonals),
-                            self.tiles.shape[0] - 1, jnp.int32)
-            cols = jnp.zeros((2 * Bp, cfg.top_diagonals), jnp.int32)
+            rows = jnp.full((2 * Bp, tk), self.tiles.shape[0] - 1, jnp.int32)
+            cols = jnp.zeros((2 * Bp, tk), jnp.int32)
             out = _xl_extend_core(packed, self.tiles, rows, cols,
-                                  top_k=cfg.top_diagonals,
+                                  top_k=tk,
                                   match=cfg.match_score,
                                   mismatch=cfg.mismatch_penalty,
                                   halo=self.halo, R=R)
@@ -386,11 +423,49 @@ class GenomeAlignerXL:
                 "construct GenomeAlignerXL with halo >= the widest query "
                 "batch (consensus batches reach 512)")
 
+    def _align_raw(self, seqs: np.ndarray, top_k: int, max_hits: int,
+                   chunk: int) -> np.ndarray:
+        """Chunked seed+extend of ``seqs``: (10, B) host array, XL_FIELDS
+        rows.  One pass at one (top_k, max_hits) operating point; the
+        two-pass path calls this twice."""
+        from anchored_fusion_tpu.ops.encode import pack_nibbles
+        from anchored_fusion_tpu.align.aligner import GroupedPuller
+        cfg = self.cfg
+        B, R = seqs.shape
+        offs_host = read_kmer_offsets(R, self.k, self.stride)
+        offsets = (jnp.asarray(offs_host) if self.mesh is None
+                   else jax.device_put(offs_host, self._rep_sh))
+        puller = GroupedPuller(lambda a, n_r: a[:, :n_r])
+
+        for lo in range(0, B, chunk):
+            sub = seqs[lo:lo + chunk]
+            n_real = sub.shape[0]
+            if n_real < chunk:
+                target = chunk if B > chunk else _xl_bucket(n_real, chunk)
+                if target != n_real:
+                    sub = np.concatenate(
+                        [sub, np.full((target - n_real, R), PAD, np.int8)],
+                        axis=0)
+            packed = pack_nibbles(sub)
+            if self.mesh is not None:
+                # batch axis sharded over EVERY mesh axis; a bare asarray
+                # would commit to the default device (the round-3 mp leak)
+                packed = jax.device_put(packed, self._data_sh)
+            rows_c, cols_c = _xl_seed_core(
+                packed, self.table, self.pos_div, offsets,
+                k=self.k, kb=self.k, stride_idx=self.index_stride,
+                stride_q=self.stride, max_hits=max_hits, top_k=top_k,
+                T=self.tiles.shape[0] - 1, C=self.C, R=R)
+            puller.push(n_real, _xl_extend_core(
+                packed, self.tiles, rows_c, cols_c, top_k=top_k,
+                match=cfg.match_score, mismatch=cfg.mismatch_penalty,
+                halo=self.halo, R=R))
+        return np.concatenate(puller.finish(), axis=1)
+
     def align(self, seqs: np.ndarray, min_score: Optional[int] = None,
               min_identity: float = 0.0, min_seg_len: Optional[int] = None,
               top_k: Optional[int] = None, max_hits: Optional[int] = None,
               chunk: int = 8192) -> AlignmentResult:
-        from anchored_fusion_tpu.ops.encode import pack_nibbles
         cfg = self.cfg
         min_score = min_score or cfg.min_align_score
         min_seg_len = min_seg_len or cfg.min_seg_len
@@ -404,31 +479,24 @@ class GenomeAlignerXL:
                 [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
         B, R = seqs.shape
         self._check_width(R)
-        offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
-        from anchored_fusion_tpu.align.aligner import GroupedPuller
-        puller = GroupedPuller(lambda a, n_r: a[:, :n_r])
-        _push = puller.push
-
-        for lo in range(0, B, chunk):
-            sub = seqs[lo:lo + chunk]
-            n_real = sub.shape[0]
-            if n_real < chunk:
-                target = chunk if B > chunk else _xl_bucket(n_real, chunk)
-                if target != n_real:
-                    sub = np.concatenate(
-                        [sub, np.full((target - n_real, R), PAD, np.int8)],
-                        axis=0)
-            packed = pack_nibbles(sub)
-            rows_c, cols_c = _xl_seed_core(
-                packed, self.table, self.pos_div, offsets,
-                k=self.k, kb=self.k, stride_idx=self.index_stride,
-                stride_q=self.stride, max_hits=max_hits, top_k=top_k,
-                T=self.tiles.shape[0] - 1, C=self.C, R=R)
-            _push(n_real, _xl_extend_core(
-                packed, self.tiles, rows_c, cols_c, top_k=top_k,
-                match=cfg.match_score, mismatch=cfg.mismatch_penalty,
-                halo=self.halo, R=R))
-        arr = np.concatenate(puller.finish(), axis=1)
+        if getattr(cfg, "xl_two_pass", False):
+            # pass 1: cheap operating point for every read; the H-capped
+            # bucket truncation and the reduced top-k only ever LOWER a
+            # read's best score, so the confidence gate (near-perfect match
+            # required) routes exactly the affected reads to the rescue pass
+            arr = self._align_raw(seqs, cfg.xl_pass1_top_k,
+                                  cfg.xl_pass1_hits, chunk)
+            lens = (seqs != PAD).sum(axis=1)
+            need = np.ceil(cfg.xl_confident_frac
+                           * np.minimum(lens, R) * cfg.match_score)
+            conf = (arr[0] >= need) & (arr[5] >= min_seg_len)
+            idx = np.nonzero(~conf)[0]
+            if len(idx):
+                arr2 = self._align_raw(seqs[idx], top_k,
+                                       cfg.xl_rescue_hits, chunk)
+                arr[:, idx] = arr2
+        else:
+            arr = self._align_raw(seqs, top_k, max_hits, chunk)
         f = {n: arr[i] for i, n in enumerate(XL_FIELDS)}
         base = f["row"].astype(np.int64) * self.C
         length = f["length"]
@@ -471,7 +539,9 @@ class GenomeAlignerXL:
         B, R = seqs.shape
         self._check_width(R)
         read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)
-        offsets = jnp.asarray(read_kmer_offsets(R, self.k, self.stride))
+        offs_host = read_kmer_offsets(R, self.k, self.stride)
+        offsets = (jnp.asarray(offs_host) if self.mesh is None
+                   else jax.device_put(offs_host, self._rep_sh))
         pending = []
         parts = []
         for lo in range(0, B, chunk):
@@ -484,6 +554,8 @@ class GenomeAlignerXL:
                         [sub, np.full((target - n_real, R), PAD, np.int8)],
                         axis=0)
             packed = pack_nibbles(sub)
+            if self.mesh is not None:
+                packed = jax.device_put(packed, self._data_sh)
             rows_c, cols_c = _xl_seed_core(
                 packed, self.table, self.pos_div, offsets,
                 k=self.k, kb=self.k, stride_idx=self.index_stride,

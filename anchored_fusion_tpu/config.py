@@ -44,7 +44,13 @@ class AlignConfig:
     # Read-position sampling stride of the dense diagonal seeder (the MXU
     # analogue of blat -stepSize; extension always runs full-resolution).
     seed_stride: int = 1
-    # k-mer size for genome-scale seeding.
+    # k-mer size for genome-scale seeding.  Size the bucket table to O(1)
+    # positions per bucket: mean load = L / (4^k * index_stride).  The
+    # default 13 is right up to ~0.5Gbp; at hg38/stride-8 it leaves 5.8
+    # positions/bucket so the H cap truncates most buckets, while k=14
+    # (+0.75GiB of table) drops the load to 1.45 and made H=4 exact-recall
+    # at 1.63x the H=8 throughput (docs/HG38_BENCH.json round 5) — set 14
+    # for multi-Gbp genomes.
     genome_kmer: int = 13
     # Gapped (affine SW) refinement post-pass on both production aligners:
     # bridges indels the ungapped Kadane extension splits, recovering
@@ -89,6 +95,35 @@ class AlignConfig:
     # (local chips, no relay) where S/route x less extension work wins.
     # Mesh (multi-chip) runs ignore this: shards already run in parallel.
     shard_route_top: int = 0
+
+    # Two-pass XL seeding (the hg38 throughput knob, GenomeAlignerXL only):
+    # pass 1 seeds every read with a reduced hit cap and top-k
+    # (xl_pass1_hits/xl_pass1_top_k — the H=4 point is 1.56x faster, its
+    # recall loss is exactly the reads whose true position falls outside a
+    # crowded bucket's first H genome-ordered slots and therefore SCORES LOW
+    # on extension), then reads failing the confidence gate — best score <
+    # xl_confident_frac x read_len or segment below min_seg_len — re-seed at
+    # xl_rescue_hits with the full top-k.  A confidently-placed read needs a
+    # near-perfect (>= frac x len) match, which outside segmental
+    # duplications only the true locus provides, so the gate is recall-safe
+    # where truth-position recall is defined; measured at 3.1 Gbp / H-cap
+    # sweep in docs/HG38_BENCH.json.  OFF by default: two-pass results are
+    # not bit-identical to the flat aligner for rescued reads' second_score,
+    # and the parity suite pins the single-pass path.  (Query-side k-mer
+    # subsampling — VERDICT r5's first-listed lever — is structurally unsafe
+    # against a strided index: a query stride q with gcd(q, index_stride)>1
+    # makes reads at odd offsets lose EVERY seed, and coprime strides cut
+    # true-diagonal votes to ~R/lcm(q,s) ~ 4, under the decoy noise floor.)
+    xl_two_pass: bool = False
+    xl_pass1_hits: int = 2
+    xl_pass1_top_k: int = 2
+    xl_rescue_hits: int = 8
+    # 0.90: a read placed on the WRONG copy of a 3%-diverged repeat family
+    # scores ~len - 5*0.03*len ~ 0.85*len, so the gate must sit above that
+    # for the rescue pass to re-seed it (copies <=2% diverged score within
+    # the gate and are inherently ambiguous at single-read scale — bwa
+    # gives them mapq 0 too); ordinary reads with <=2 errors still clear it.
+    xl_confident_frac: float = 0.90
 
     def resolved_query_stride(self) -> int:
         if self.genome_query_stride:

@@ -43,6 +43,37 @@ from anchored_fusion_tpu.call.report import write_final_fusion
 from anchored_fusion_tpu.config import FINE_BLOCK_PRESET
 
 
+_INT32_SAFE = 2**31 - 2**20
+
+
+def genome_engine_kind(total_length: int, index_stride: int,
+                       mesh_mp: int) -> str:
+    """Which genome-alignment engine FusionPipeline selects (testable
+    without multi-GB genomes — VERDICT r4 #8 selection contract):
+
+      'xl-mesh'  — mesh present, genome past int32 but the strided XL index
+                   fits one device: XL replicated, reads sharded over ALL
+                   mesh axes (zero collectives; the capacity split is only
+                   for indexes past per-device HBM);
+      'sharded-mesh' — mesh's mp axis > 1 and XL not eligible: the k-mer
+                   index splits over mp (capacity axis);
+      'xl'       — single device, genome past int32, strided index fits;
+      'sharded'  — single device, genome past even the strided capacity;
+      'flat'     — genome fits int32 (mesh or not: flat engine dp-shards).
+    """
+    stride = max(1, index_stride)
+    xl_fits = (total_length > _INT32_SAFE
+               and total_length // stride < _INT32_SAFE)
+    if mesh_mp > 0:                                 # mesh present
+        if xl_fits:
+            return "xl-mesh"
+        if mesh_mp > 1:
+            return "sharded-mesh"
+    if total_length > _INT32_SAFE:
+        return "xl" if xl_fits else "sharded"
+    return "flat"
+
+
 @dataclasses.dataclass
 class GeneCallResult:
     rows: List[dict]
@@ -77,33 +108,43 @@ class FusionPipeline:
         if mesh is None:
             mesh = mesh_from_config(self.cfg.mesh)
         self.mesh = mesh
-        int32_safe = 2**31 - 2**20
-        if mesh is not None and mesh.shape[mesh.axis_names[1]] > 1:
+        kind = genome_engine_kind(
+            genome.total_length, getattr(self.cfg.align, "index_stride", 1),
+            0 if mesh is None else mesh.shape[mesh.axis_names[1]])
+        if kind == "xl-mesh":
+            # hg38-scale genome on a mesh: the strided XL index fits ONE
+            # chip, so the measured-best single-chip engine replicates on
+            # every device and reads shard over ALL mesh axes (zero
+            # collectives) — splitting the index (mp) is only for indexes
+            # past per-device HBM (VERDICT r4 #8).
+            from anchored_fusion_tpu.align.genome_xl import GenomeAlignerXL
+            self.genome_aligner = GenomeAlignerXL(genome, self.cfg.align,
+                                                  mesh=mesh)
+        elif kind == "sharded-mesh":
             from anchored_fusion_tpu.parallel.sharded_genome import (
                 ShardedGenomeAligner)
             self.genome_aligner = ShardedGenomeAligner(
                 genome, n_shards=mesh.shape[mesh.axis_names[1]],
                 cfg=self.cfg.align, mesh=mesh)
-        elif genome.total_length > int32_safe:
+        elif kind == "xl":
             # hg38-scale genomes exceed the flat index's int32 coordinate
             # range.  With a strided index (the hg38 operating point) the XL
             # merged-index aligner covers the whole genome in ONE query per
             # chunk — ~2.6x the per-chip throughput of looping shard
-            # programs (docs/PERFORMANCE.md round 4); a dense index past
-            # 2.1Gbp cannot store stride-scaled positions in int32, so it
-            # keeps the per-shard loop.
-            stride = getattr(self.cfg.align, "index_stride", 1)
-            if genome.total_length // max(stride, 1) < int32_safe:
-                from anchored_fusion_tpu.align.genome_xl import GenomeAlignerXL
-                self.genome_aligner = GenomeAlignerXL(genome, self.cfg.align)
-            else:
-                from anchored_fusion_tpu.parallel.sharded_genome import (
-                    ShardedGenomeAligner)
-                n = -(-genome.total_length // (int32_safe // 2))
-                self.genome_aligner = ShardedGenomeAligner(
-                    genome, n_shards=max(2, int(n)), cfg=self.cfg.align)
+            # programs (docs/PERFORMANCE.md round 4).
+            from anchored_fusion_tpu.align.genome_xl import GenomeAlignerXL
+            self.genome_aligner = GenomeAlignerXL(genome, self.cfg.align)
+        elif kind == "sharded":
+            # a dense index past 2.1Gbp cannot store stride-scaled positions
+            # in int32: the per-shard loop is the capacity fallback
+            from anchored_fusion_tpu.parallel.sharded_genome import (
+                ShardedGenomeAligner)
+            n = -(-genome.total_length // (_INT32_SAFE // 2))
+            self.genome_aligner = ShardedGenomeAligner(
+                genome, n_shards=max(2, int(n)), cfg=self.cfg.align)
         else:
-            self.genome_aligner = GenomeAligner(genome, self.cfg.align)
+            self.genome_aligner = GenomeAligner(genome, self.cfg.align,
+                                                mesh=mesh)
         self.cache = StageCache(cache_dir)
 
     def call_gene(
