@@ -374,7 +374,7 @@ class GenomeAlignerXL:
         if getattr(cfg, "xl_two_pass", False):
             combos += [(Bp, cfg.xl_pass1_top_k, cfg.xl_pass1_hits)
                        for Bp in self._WARM_BATCHES]
-            combos += [(Bp, cfg.top_diagonals, cfg.xl_rescue_hits)
+            combos += [(Bp, cfg.xl_rescue_top_k, cfg.xl_rescue_hits)
                        for Bp in (1024, 4096)]
         for Bp, tk, mh in combos:
             packed, offs, R = self._warm_inputs(Bp)
@@ -390,6 +390,7 @@ class GenomeAlignerXL:
         combos = [(Bp, cfg.top_diagonals) for Bp in self._WARM_BATCHES]
         if getattr(cfg, "xl_two_pass", False):
             combos += [(Bp, cfg.xl_pass1_top_k) for Bp in self._WARM_BATCHES]
+            combos += [(Bp, cfg.xl_rescue_top_k) for Bp in (1024, 4096)]
         for Bp, tk in combos:
             packed, offs, R = self._warm_inputs(Bp)
             rows = jnp.full((2 * Bp, tk), self.tiles.shape[0] - 1, jnp.int32)
@@ -492,7 +493,8 @@ class GenomeAlignerXL:
             conf = (arr[0] >= need) & (arr[5] >= min_seg_len)
             idx = np.nonzero(~conf)[0]
             if len(idx):
-                arr2 = self._align_raw(seqs[idx], top_k,
+                arr2 = self._align_raw(seqs[idx],
+                                       getattr(cfg, "xl_rescue_top_k", top_k),
                                        cfg.xl_rescue_hits, chunk)
                 arr[:, idx] = arr2
         else:

@@ -137,8 +137,7 @@ def main(argv=None) -> int:
         cfg = PipelineConfig(
             align=AlignConfig(index_stride=args.index_stride,
                               genome_kmer=args.kmer,
-                              xl_two_pass=bool(args.two_pass),
-                              xl_pass1_hits=2, xl_rescue_hits=8),
+                              xl_two_pass=bool(args.two_pass)),
             filter_false_positive=False)
         t0 = time.time()
         pipe = FusionPipeline(genome, ExonIndex(gtf, inject_loci=False),

@@ -118,15 +118,21 @@ def sample_reads(rng: np.random.Generator, codes: np.ndarray, n: int,
         starts = np.minimum(starts, L - read_len)
     batch = _reads_at(rng, codes, starts, read_len, error_rate, pad_to)
     ends = starts + read_len - 1
-    clean = np.ones(n, bool)
-    if len(repeats):
-        # read overlaps a repeat iff some interval start <= read_end AND that
-        # interval's end > read_start; conservative sweep over merged bounds
-        idx = np.searchsorted(repeats[:, 0], ends, side="right")
-        prev_end_cum = np.maximum.accumulate(repeats[:, 1])
-        has_prev = idx > 0
-        clean = ~(has_prev & (prev_end_cum[np.clip(idx - 1, 0, None)] > starts))
+    clean = ~overlaps_any(repeats, starts, ends)
     return batch, starts.astype(np.int64), ends.astype(np.int64), clean
+
+
+def overlaps_any(intervals: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray) -> np.ndarray:
+    """Per-read bool: overlaps some (start, end) interval.  Conservative
+    sweep over merged bounds (interval start <= read_end AND that
+    interval's running max end > read_start)."""
+    if not len(intervals):
+        return np.zeros(len(starts), bool)
+    idx = np.searchsorted(intervals[:, 0], ends, side="right")
+    prev_end_cum = np.maximum.accumulate(intervals[:, 1])
+    has_prev = idx > 0
+    return has_prev & (prev_end_cum[np.clip(idx - 1, 0, None)] > starts)
 
 
 def profile_xl_stages(ga, reads, batch: int, top_k: int, max_hits: int):
@@ -215,9 +221,10 @@ def main(argv=None) -> int:
     ap.add_argument("--two-pass", action="store_true",
                     help="XL two-pass seeding (pass-1 cheap point + "
                          "confidence-gated rescue; AlignConfig.xl_two_pass)")
-    ap.add_argument("--pass1-hits", type=int, default=2)
-    ap.add_argument("--pass1-topk", type=int, default=2)
-    ap.add_argument("--rescue-hits", type=int, default=8)
+    ap.add_argument("--pass1-hits", type=int, default=4)
+    ap.add_argument("--pass1-topk", type=int, default=4)
+    ap.add_argument("--rescue-hits", type=int, default=16)
+    ap.add_argument("--rescue-topk", type=int, default=8)
     ap.add_argument("--confident-frac", type=float, default=0.90)
     ap.add_argument("--profile-stages", action="store_true",
                     help="XL path: report seed/extend wall split per sweep "
@@ -259,6 +266,7 @@ def main(argv=None) -> int:
                       xl_pass1_hits=args.pass1_hits,
                       xl_pass1_top_k=args.pass1_topk,
                       xl_rescue_hits=args.rescue_hits,
+                      xl_rescue_top_k=args.rescue_topk,
                       xl_confident_frac=args.confident_frac)
     int32_safe = 2**31 - 2**20
     n_shards = args.shards or max(2, -(-L // (int32_safe // 2)))
@@ -323,7 +331,10 @@ def main(argv=None) -> int:
 
     reads, t_s, t_e, clean = sample_reads(rng, codes, args.reads, repeats,
                                           error_rate=args.error_rate)
-    fam_mask = np.zeros(args.reads, bool)
+    # genome-wide reads that happen to fall in a diverged family copy face
+    # the same crowded-bucket case as the targeted family reads — count
+    # them as family, not as "unique"
+    fam_mask = overlaps_any(fam_ivals, t_s, t_e)
     if len(fam_ivals) and args.family_reads:
         # targeted reads INSIDE diverged family copies: they are uniquely
         # placeable (divergence > 0) but their k-mer buckets are crowded to
@@ -353,7 +364,7 @@ def main(argv=None) -> int:
         ok = np.concatenate([
             recall_of(r, t_s[lo:lo + args.batch], t_e[lo:lo + args.batch])
             for lo, r in zip(range(0, n_total, args.batch), parts)])
-        key = (f"2P_h{args.pass1_hits}k{args.pass1_topk}_r{args.rescue_hits}"
+        key = (f"2P_h{args.pass1_hits}k{args.pass1_topk}_r{args.rescue_hits}t{args.rescue_topk}"
                if args.two_pass else f"H{h}")
         sweep[key] = {
             "reads_per_s": round(n_total / dt, 1),

@@ -114,10 +114,26 @@ class AlignConfig:
     # against a strided index: a query stride q with gcd(q, index_stride)>1
     # makes reads at odd offsets lose EVERY seed, and coprime strides cut
     # true-diagonal votes to ~R/lcm(q,s) ~ 4, under the decoy noise floor.)
+    # Defaults are the repeat-robust point from the 3.1Gbp family sweep
+    # (docs/HG38_BENCH.json round5_families): pass-1 at H=4/top-4 keeps the
+    # true copy's bucket entries for copy-number<=16 families (H=2 drops
+    # them and reads get confidently mis-placed on low-divergence windows
+    # the gate cannot see), recall_family 0.9717 vs 0.9155-0.9517 for the
+    # narrower configs, recall_unique 1.0 everywhere.  The throughput point
+    # (pass1_hits=2, pass1_top_k=2, rescue 8: 25.2k reads/s, the fastest
+    # exact-unique-recall config) is the right setting for repeat-light
+    # genomes.
     xl_two_pass: bool = False
-    xl_pass1_hits: int = 2
-    xl_pass1_top_k: int = 2
-    xl_rescue_hits: int = 8
+    xl_pass1_hits: int = 4
+    xl_pass1_top_k: int = 4
+    xl_rescue_hits: int = 16
+    # Rescue extends the top-8 voted diagonals (vs top_diagonals=4 on the
+    # fast path): a read from one copy of a high-copy repeat family shares
+    # ~2/3 of its k-mers with every other copy, so several decoy diagonals
+    # can out-vote the true one — extending more of them lets the SCORE
+    # (which only the true copy maximizes) decide.  Rescue is a few percent
+    # of reads, so the wider extension is ~free.
+    xl_rescue_top_k: int = 8
     # 0.90: a read placed on the WRONG copy of a 3%-diverged repeat family
     # scores ~len - 5*0.03*len ~ 0.85*len, so the gate must sit above that
     # for the rescue pass to re-seed it (copies <=2% diverged score within
