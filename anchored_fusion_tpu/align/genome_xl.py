@@ -351,7 +351,12 @@ class GenomeAlignerXL:
 
     def _warm_inputs(self, Bp: int):
         from anchored_fusion_tpu.ops.encode import pack_nibbles
+        # warm the TRIMMED production width (_trim_width: 101bp reads in
+        # the 128-lane default dispatch at 112); datasets whose reads
+        # genuinely occupy >112 columns compile the 128 shape on first use
         R = self.cfg.max_read_len
+        if R == 128:
+            R = 112
         packed = pack_nibbles(np.full((Bp, R), PAD, np.int8))
         offs = read_kmer_offsets(R, self.k, self.stride)
         if self.mesh is not None:
@@ -413,6 +418,23 @@ class GenomeAlignerXL:
                                         mismatch=cfg.mismatch_penalty,
                                         halo=self.halo, R=R)
             jax.block_until_ready(out)
+
+    @staticmethod
+    def _trim_width(seqs: np.ndarray) -> np.ndarray:
+        """Drop PAD-only tail columns down to the 112-lane bucket.
+
+        Reads are left-aligned and standard Illumina reads are 101 bp in
+        the 128-lane default width, so 2x(116-99) seed-gather offsets per
+        read plus 12.5% of every extension window are spent on columns no
+        read occupies.  Trimming to 112 (the only other warmed width) is
+        bit-neutral: the dropped k-mer offsets were PAD-invalid for every
+        read, and window/strand coordinate math is width-consistent.
+        Widths other than 128 (candidate-join batches etc.) pass through.
+        """
+        if seqs.shape[1] != 128:
+            return seqs
+        occ = seqs[:, 112:] != PAD
+        return seqs if occ.any() else seqs[:, :112]
 
     def _check_width(self, R: int):
         """Queries wider than the tile halo would get silently truncated /
@@ -478,6 +500,7 @@ class GenomeAlignerXL:
         if seqs.shape[1] % 2:
             seqs = np.concatenate(
                 [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
+        seqs = self._trim_width(seqs)
         B, R = seqs.shape
         self._check_width(R)
         if getattr(cfg, "xl_two_pass", False):
@@ -538,6 +561,7 @@ class GenomeAlignerXL:
         if seqs.shape[1] % 2:
             seqs = np.concatenate(
                 [seqs, np.full((seqs.shape[0], 1), PAD, np.int8)], axis=1)
+        seqs = self._trim_width(seqs)
         B, R = seqs.shape
         self._check_width(R)
         read_lens = (seqs != PAD).sum(axis=1).astype(np.int32)

@@ -145,6 +145,7 @@ def profile_xl_stages(ga, reads, batch: int, top_k: int, max_hits: int):
     from anchored_fusion_tpu.align.genome_xl import (_xl_seed_core,
                                                      _xl_extend_core)
     from anchored_fusion_tpu.index.kmer import read_kmer_offsets
+    reads = ga._trim_width(np.asarray(reads, np.int8))
     R = reads.shape[1]
     offsets = jnp.asarray(read_kmer_offsets(R, ga.k, ga.stride))
     t_seed = t_ext = 0.0

@@ -34,9 +34,10 @@ CLAIMS = [
     ("BENCH_r04.json", ["parsed", "pipeline_reads_per_s"],
      lambda v: f"{v/1e3:.1f}k"),
     ("docs/HG38_BENCH.json",
-     ["round5_xl_k14", "sweep", "2P_h2k2_r8", "reads_per_s"],
+     ["round5_xl_k14", "sweep", "2P_h2k2_r8_trim112", "reads_per_s"],
      lambda v: f"{v/1e3:.1f}k"),
-    ("docs/HG38_BENCH.json", ["round5_xl_k14", "sweep", "H4", "reads_per_s"],
+    ("docs/HG38_BENCH.json",
+     ["round5_xl_k14", "sweep", "H4_trim112", "reads_per_s"],
      lambda v: f"{v/1e3:.1f}k"),
     ("docs/HG38_BENCH.json", ["round5_xl_k14", "index_gib"],
      lambda v: f"{v} GiB"),
