@@ -65,6 +65,7 @@ def main(argv=None) -> int:
             genome_bp=genome.total_length)
 
     cfg = PipelineConfig(
+        align=common.align_config_for(args, genome.total_length),
         read_batch=args.read_batch,
         filter_false_positive=not args.not_filter_false_positive,
         train_filter_model=not args.not_train_filter_model,

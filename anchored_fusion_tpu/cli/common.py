@@ -45,6 +45,18 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="Accepted for compatibility; accelerator selection is "
                         "JAX-level")
     p.add_argument("--read_batch", type=int, default=32768)
+    # genome-engine knobs (0/-1 = auto: the measured hg38 operating point —
+    # docs/HG38_BENCH.json round5 — kicks in for genomes past the int32
+    # coordinate range; small genomes keep the dense parity defaults)
+    p.add_argument("--index_stride", type=int, default=0,
+                   help="genome index sampling stride (0 = auto: 1 below "
+                        "2.1Gbp, 8 at hg38 scale)")
+    p.add_argument("--genome_kmer", type=int, default=0,
+                   help="genome seeding k-mer (0 = auto: 13, or 14 at hg38 "
+                        "scale — keeps bucket load ~1.4)")
+    p.add_argument("--xl_two_pass", type=int, default=-1,
+                   help="two-pass XL seeding with per-read rescue "
+                        "(-1 = auto: on at hg38 scale)")
     p.add_argument("--resume", action="store_true",
                    help="Skip genes whose predictions file already exists")
     p.add_argument("--gene_retries", type=int, default=1,
@@ -61,6 +73,22 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="Total processes in the multi-host cluster")
     p.add_argument("--proc_id", type=int, default=None,
                    help="This process's id within the multi-host cluster")
+
+
+def align_config_for(args, genome_bp: int):
+    """AlignConfig with the auto genome-scale operating point.
+
+    Past the int32 coordinate range the measured hg38 point applies
+    (docs/HG38_BENCH.json round5: stride 8 + k=14 + two-pass rescue =
+    26.5-27.3k reads/s at exact unique-region recall on one v5e chip);
+    explicit flags always win, and sub-2.1Gbp genomes keep the dense
+    parity defaults."""
+    from anchored_fusion_tpu.config import AlignConfig
+    big = genome_bp > 2**31 - 2**20
+    return AlignConfig(
+        index_stride=args.index_stride or (8 if big else 1),
+        genome_kmer=args.genome_kmer or (14 if big else 13),
+        xl_two_pass=(big if args.xl_two_pass < 0 else bool(args.xl_two_pass)))
 
 
 def init_cluster(args) -> bool:

@@ -94,6 +94,7 @@ def main(argv=None) -> int:
         gene_rows = parse_gtf_genes(args.file_ref_ann)
         anchor_seqs = common.split_anchor_fasta(args.file_anchored_cds)
     cfg = PipelineConfig(
+        align=common.align_config_for(args, genome.total_length),
         read_batch=args.read_batch,
         filter_false_positive=not args.not_filter_false_positive,
         train_filter_model=not args.not_train_filter_model,

@@ -70,3 +70,21 @@ def test_discover_pairs_suffix_parity(tmp_path):
     pairs = discover_pairs(d)
     names = sorted(p[0] for p in pairs)
     assert names == ["a", "b"]
+
+
+def test_align_config_auto_operating_point():
+    """CLI auto genome knobs: hg38-scale genomes get the measured operating
+    point (stride 8 / k=14 / two-pass); small genomes keep parity defaults;
+    explicit flags win."""
+    import argparse
+    from anchored_fusion_tpu.cli.common import align_config_for
+    ns = argparse.Namespace(index_stride=0, genome_kmer=0, xl_two_pass=-1)
+    small = align_config_for(ns, 300_000)
+    assert (small.index_stride, small.genome_kmer, small.xl_two_pass) \
+        == (1, 13, False)
+    big = align_config_for(ns, 3_100_000_000)
+    assert (big.index_stride, big.genome_kmer, big.xl_two_pass) == (8, 14, True)
+    ns2 = argparse.Namespace(index_stride=4, genome_kmer=13, xl_two_pass=0)
+    forced = align_config_for(ns2, 3_100_000_000)
+    assert (forced.index_stride, forced.genome_kmer, forced.xl_two_pass) \
+        == (4, 13, False)
