@@ -172,3 +172,18 @@ def test_pipeline_engine_selection():
     assert genome_engine_kind(300_000, 1, 0) == "flat"
     assert genome_engine_kind(300_000, 1, 2) == "sharded-mesh"
     assert genome_engine_kind(300_000, 1, 1) == "flat"  # dp mesh, flat engine
+
+
+def test_xl_two_pass_unmappable_reads(rng):
+    """Reads with no placement anywhere all fail the confidence gate, go
+    through the rescue pass, and come back unmapped (not crashed, not
+    spuriously mapped)."""
+    ref = reference_from_dict({"c": random_dna(rng, 100_000)})
+    cfg = dataclasses.replace(
+        AlignConfig(genome_kmer=11, index_stride=2, gapped_refine=False),
+        xl_two_pass=True)
+    xl = GenomeAlignerXL(ref, cfg=cfg, tile_c=TILE, halo=256)
+    garbage = np.stack([encode_ascii(random_dna(rng, 101), length=128)
+                        for _ in range(8)])
+    res = xl.align(garbage)
+    assert not res.mapped.any()

@@ -72,3 +72,38 @@ def test_stage_logger_throughput(tmp_path, capsys):
     import json
     d = json.load(open(tmp_path / "s.json"))
     assert d["run"] == "t" and "time.total_s" in d["stats"]
+
+
+def test_grouped_puller_contract():
+    """GroupedPuller: flush order, shape-change sealing, n_real slicing."""
+    import numpy as np
+    from anchored_fusion_tpu.align.aligner import GroupedPuller
+
+    import jax.numpy as jnp
+    outs = []
+    p = GroupedPuller(lambda a, n: a[:, :n], flush_chunks=3)
+    # 4 same-shape chunks (one full group + one partial), then a shape change
+    for i in range(4):
+        p.push(3 - (i == 3), jnp.full((2, 4), i))
+    p.push(7, jnp.full((2, 8), 9))
+    res = p.finish()
+    assert [a.shape for a in res] == [(2, 3)] * 3 + [(2, 2), (2, 7)]
+    assert [int(a[0, 0]) for a in res] == [0, 1, 2, 3, 9]
+    assert p.finish() == res  # idempotent: nothing pending
+
+
+def test_xl_trim_width_guard():
+    """_trim_width only drops PAD-only tails and only at the 128 default."""
+    import numpy as np
+    from anchored_fusion_tpu.align.genome_xl import GenomeAlignerXL
+    from anchored_fusion_tpu.ops.encode import PAD
+
+    t = GenomeAlignerXL._trim_width
+    a = np.full((4, 128), PAD, np.int8)
+    a[:, :101] = 0
+    assert t(a).shape == (4, 112)
+    b = np.full((4, 128), PAD, np.int8)
+    b[0, 120] = 2                       # occupied past 112: keep width
+    assert t(b).shape == (4, 128)
+    c = np.full((4, 256), PAD, np.int8)  # non-default width: untouched
+    assert t(c).shape == (4, 256)
