@@ -45,6 +45,8 @@ CLAIMS = [
      lambda v: f"{v} s"),
     ("docs/SCALING_r05.json", ["genome", "mp2_vs_dp1"],
      lambda v: f"{v:.2f}x"),
+    ("docs/DEPTH_SWEEP.json", ["all_detected_from_cov"],
+     lambda v: f"detected from {v}x"),
 ]
 
 

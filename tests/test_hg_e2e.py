@@ -30,3 +30,18 @@ def test_hg_e2e_full_scale(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert out["correct_call"] and out["partner_chrom_ok"]
+
+
+def test_depth_sweep_harness(capsys):
+    """The sensitivity-vs-coverage titration (the reference's paper
+    benchmark, utils/simulate_reads.py ladder) at CI scale: one fusion,
+    two coverage points — detection must hold at 32x.  The full 6x7 run is
+    recorded in docs/DEPTH_SWEEP.json (all fusions detected from 4x)."""
+    import json
+    from anchored_fusion_tpu.bench import depth_sweep
+    rc = depth_sweep.main(["--fusions", "1", "--coverages", "8,32",
+                           "--json-only"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    (fusion,) = out["fusions"].values()
+    assert fusion["curve"]["32"] is True
