@@ -47,6 +47,8 @@ CLAIMS = [
      lambda v: f"{v:.2f}x"),
     ("docs/DEPTH_SWEEP.json", ["all_detected_from_cov"],
      lambda v: f"detected from {v}x"),
+    ("docs/DEPTH_SWEEP.json", ["real_data_ladder", "max_downsample_detected"],
+     lambda v: f"1/{v}x"),
 ]
 
 

@@ -45,3 +45,16 @@ def test_depth_sweep_harness(capsys):
     assert rc == 0
     (fusion,) = out["fusions"].values()
     assert fusion["curve"]["32"] is True
+
+
+def test_real_depth_ladder_harness(capsys):
+    """Real-data 2x downsampling titration (utils/downsample_reads.py
+    parity experiment) at CI scale: full depth + one halving — the bundled
+    BCR-ABL1 call must survive 1/2x.  The full 8-step run is recorded in
+    docs/DEPTH_SWEEP.json real_data_ladder (detected down to 1/32x)."""
+    import json
+    from anchored_fusion_tpu.bench import real_depth
+    rc = real_depth.main(["--steps", "1", "--json-only"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert all(e["detected"] for e in out["ladder"])
