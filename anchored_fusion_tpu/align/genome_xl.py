@@ -492,6 +492,10 @@ class GenomeAlignerXL:
         cfg = self.cfg
         min_score = min_score or cfg.min_align_score
         min_seg_len = min_seg_len or cfg.min_seg_len
+        # an EXPLICIT top_k/max_hits pins that single-pass operating point;
+        # two-pass seeding applies only to default-parameter calls (callers
+        # asking for a specific H must get exactly that H)
+        explicit = top_k is not None or max_hits is not None
         top_k = top_k or cfg.top_diagonals
         max_hits = max_hits or cfg.max_hits_per_kmer
         seqs = np.asarray(seqs, np.int8)
@@ -503,7 +507,7 @@ class GenomeAlignerXL:
         seqs = self._trim_width(seqs)
         B, R = seqs.shape
         self._check_width(R)
-        if getattr(cfg, "xl_two_pass", False):
+        if getattr(cfg, "xl_two_pass", False) and not explicit:
             # pass 1: cheap operating point for every read; the H-capped
             # bucket truncation and the reduced top-k only ever LOWER a
             # read's best score, so the confidence gate (near-perfect match
@@ -516,10 +520,17 @@ class GenomeAlignerXL:
             conf = (arr[0] >= need) & (arr[5] >= min_seg_len)
             idx = np.nonzero(~conf)[0]
             if len(idx):
+                # rescue chunk capped at 4096: _xl_bucket would pad larger
+                # subsets to 8192, a shape the rescue warms don't cover —
+                # a novel compile at full index residency (the OOM hazard)
                 arr2 = self._align_raw(seqs[idx],
                                        getattr(cfg, "xl_rescue_top_k", top_k),
-                                       cfg.xl_rescue_hits, chunk)
-                arr[:, idx] = arr2
+                                       cfg.xl_rescue_hits, min(chunk, 4096))
+                # keep the per-read BEST of the two passes: at extreme
+                # bucket crowding the rescue's wider vote can spread past
+                # its top-k and come back WORSE than pass 1's placement
+                upd = arr2[0] > arr[0, idx]
+                arr[:, idx[upd]] = arr2[:, upd]
         else:
             arr = self._align_raw(seqs, top_k, max_hits, chunk)
         f = {n: arr[i] for i, n in enumerate(XL_FIELDS)}

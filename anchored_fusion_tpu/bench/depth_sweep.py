@@ -53,9 +53,11 @@ def main(argv=None) -> int:
     from anchored_fusion_tpu.pipeline import FusionPipeline
 
     rng = np.random.default_rng(args.seed)
-    # distinct 3-letter-prefix names (Inspect_name parity rejects shared
-    # prefixes); gene 0 anchors, genes 1..N partner
-    names = ["AAX", "BBQ", "CCR", "DDS", "EET", "FFU", "GGV", "HHW"]
+    # distinct 3-letter-prefix names for ANY fusion count (Inspect_name
+    # parity rejects pairs sharing a 3-char prefix); gene 0 anchors,
+    # genes 1..N partner
+    names = ["".join(chr(65 + (i // 26 ** p) % 26) for p in (2, 1, 0))
+             for i in range(args.fusions + 1)]
     sg = make_synthetic_genome(rng, n_genes=args.fusions + 1,
                                exons_per_gene=(4, 6), exon_len=(250, 400),
                                namer=lambda gi: names[gi])

@@ -30,12 +30,13 @@ import numpy as np
 from anchored_fusion_tpu.bench.hg_scale import make_genome, log
 
 
-def implant_genes(rng, codes, anchor_pos: int, partner_pos: int,
+def implant_genes(anchor_pos: int, partner_pos: int,
                   n_exons: int = 6, exon_len: int = 900,
                   intron_len: int = 600, chrom: str = "chrS"):
     """Two spliced genes carved out of the big genome at known loci.
 
-    Exons are slices of the (random) genome itself, so transcripts match
+    Pure coordinate bookkeeping: exons are slices of the (random) genome
+    itself — nothing is written into the sequence — so transcripts match
     their loci exactly; coordinates are 1-based inclusive like a GTF.
     Returns (genes dict, gtf_dic, gene_rows) in the SynthGenome shapes the
     pipeline consumes."""
@@ -101,17 +102,22 @@ def main(argv=None) -> int:
     # every partner-side coordinate exercises the int64 host folds), nudged
     # off any implanted duplication so the loci stay unique sequence
     def clear_of_repeats(pos: int, span: int = 12_000) -> int:
+        prev_end = (np.maximum.accumulate(repeats[:, 1])
+                    if len(repeats) else None)
         while len(repeats):
             i = np.searchsorted(repeats[:, 0], pos + span, side="right")
-            prev_end = np.maximum.accumulate(repeats[:, 1])
             if i > 0 and prev_end[i - 1] > pos:
-                pos = int(repeats[i - 1, 1]) + 1000
+                # jump past the RUNNING-MAX end (an interval overlapping
+                # [pos, pos+span) may not be the one at i-1 when interval
+                # lengths vary — repeats[i-1, 1] could move pos backward
+                # and loop forever)
+                pos = int(prev_end[i - 1]) + 1000
             else:
                 break
         return min(pos, L - span - 1000)
     anchor_pos = clear_of_repeats(int(L * 0.323) | 7)
     partner_pos = clear_of_repeats(int(L * 0.806) | 3)
-    genes, gtf, rows = implant_genes(rng, codes, anchor_pos=anchor_pos,
+    genes, gtf, rows = implant_genes(anchor_pos=anchor_pos,
                                      partner_pos=partner_pos)
     genome = Reference(names=["chrS"], starts=np.zeros(1, np.int64),
                        lengths=np.asarray([L], np.int64), seq=codes)

@@ -145,12 +145,22 @@ def profile_xl_stages(ga, reads, batch: int, top_k: int, max_hits: int):
     from anchored_fusion_tpu.align.genome_xl import (_xl_seed_core,
                                                      _xl_extend_core)
     from anchored_fusion_tpu.index.kmer import read_kmer_offsets
+    from anchored_fusion_tpu.align.genome_xl import _xl_bucket
+    from anchored_fusion_tpu.ops.encode import PAD
     reads = ga._trim_width(np.asarray(reads, np.int8))
     R = reads.shape[1]
     offsets = jnp.asarray(read_kmer_offsets(R, ga.k, ga.stride))
     t_seed = t_ext = 0.0
     for lo in range(0, len(reads), batch):
-        packed = pack_nibbles(reads[lo:lo + batch])
+        sub = reads[lo:lo + batch]
+        if sub.shape[0] < batch:
+            # pad partial batches to a warmed bucket like production
+            # (_align_raw): a novel shape here would COMPILE at full index
+            # residency and bill the compile to t_seed
+            tgt = _xl_bucket(sub.shape[0], batch)
+            sub = np.concatenate(
+                [sub, np.full((tgt - sub.shape[0], R), PAD, np.int8)])
+        packed = pack_nibbles(sub)
         t0 = time.time()
         r, c = _xl_seed_core(
             packed, ga.table, ga.pos_div, offsets, k=ga.k, kb=ga.k,
@@ -354,12 +364,17 @@ def main(argv=None) -> int:
     sweep = {}
     akw = {"chunk": args.chunk} if (args.chunk and args.flat) else {}
     for h in [int(x) for x in args.hits.split(",")]:
+        # two-pass mode uses the configured pass-1/rescue operating points:
+        # an explicit max_hits would pin a single-pass point instead
+        # (GenomeAlignerXL.align: explicit args win over xl_two_pass)
+        if not (args.two_pass and args.xl):
+            akw["max_hits"] = h
         # full untimed pass: compiles every shape INCLUDING the refine
         # buckets later batches may select (first-compile is minutes here)
         for lo in range(0, n_total, args.batch):
-            ga.align(reads[lo:lo + args.batch], max_hits=h, **akw)
+            ga.align(reads[lo:lo + args.batch], **akw)
         t0 = time.time()
-        parts = [ga.align(reads[lo:lo + args.batch], max_hits=h, **akw)
+        parts = [ga.align(reads[lo:lo + args.batch], **akw)
                  for lo in range(0, n_total, args.batch)]
         dt = time.time() - t0
         ok = np.concatenate([

@@ -44,17 +44,31 @@ from anchored_fusion_tpu.config import FINE_BLOCK_PRESET
 
 
 _INT32_SAFE = 2**31 - 2**20
+# Per-device budget for a REPLICATED XL index (pos_div + tiled genome +
+# bucket table): 12 of a v5e's 16 GiB, leaving headroom for batches, sort
+# workspaces and the refine pass.  Genomes whose XL residency exceeds it
+# keep the sharded capacity engine instead of replicating.
+_XL_DEVICE_BYTES = 12 * 2**30
+
+
+def _xl_bytes(total_length: int, stride: int, kmer: int) -> int:
+    return (total_length // stride * 4      # pos_div int32
+            + total_length                  # tiled int8 genome (+~0 halo)
+            + ((1 << (2 * kmer)) + 1) * 4)  # bucket table
 
 
 def genome_engine_kind(total_length: int, index_stride: int,
-                       mesh_mp: int) -> str:
+                       mesh_mp: int, genome_kmer: int = 13,
+                       device_bytes: int = _XL_DEVICE_BYTES) -> str:
     """Which genome-alignment engine FusionPipeline selects (testable
     without multi-GB genomes — VERDICT r4 #8 selection contract):
 
       'xl-mesh'  — mesh present, genome past int32 but the strided XL index
-                   fits one device: XL replicated, reads sharded over ALL
-                   mesh axes (zero collectives; the capacity split is only
-                   for indexes past per-device HBM);
+                   fits one device (int32 coordinates AND the ``_xl_bytes``
+                   residency estimate within ``device_bytes``): XL
+                   replicated, reads sharded over ALL mesh axes (zero
+                   collectives; the capacity split is only for indexes
+                   past per-device HBM);
       'sharded-mesh' — mesh's mp axis > 1 and XL not eligible: the k-mer
                    index splits over mp (capacity axis);
       'xl'       — single device, genome past int32, strided index fits;
@@ -62,15 +76,20 @@ def genome_engine_kind(total_length: int, index_stride: int,
       'flat'     — genome fits int32 (mesh or not: flat engine dp-shards).
     """
     stride = max(1, index_stride)
-    xl_fits = (total_length > _INT32_SAFE
-               and total_length // stride < _INT32_SAFE)
+    coord_fit = (total_length > _INT32_SAFE
+                 and total_length // stride < _INT32_SAFE)
+    hbm_fit = _xl_bytes(total_length, stride, genome_kmer) <= device_bytes
     if mesh_mp > 0:                                 # mesh present
-        if xl_fits:
+        # replicating the XL index requires it to FIT per device; with
+        # mp > 1 an actual capacity split is available, so an oversized
+        # index falls back to it instead of replicating (a dp-only mesh
+        # has no split axis — per-device residency is the same either way)
+        if coord_fit and (mesh_mp == 1 or hbm_fit):
             return "xl-mesh"
         if mesh_mp > 1:
             return "sharded-mesh"
     if total_length > _INT32_SAFE:
-        return "xl" if xl_fits else "sharded"
+        return "xl" if coord_fit else "sharded"
     return "flat"
 
 
@@ -110,7 +129,8 @@ class FusionPipeline:
         self.mesh = mesh
         kind = genome_engine_kind(
             genome.total_length, getattr(self.cfg.align, "index_stride", 1),
-            0 if mesh is None else mesh.shape[mesh.axis_names[1]])
+            0 if mesh is None else mesh.shape[mesh.axis_names[1]],
+            genome_kmer=getattr(self.cfg.align, "genome_kmer", 13))
         if kind == "xl-mesh":
             # hg38-scale genome on a mesh: the strided XL index fits ONE
             # chip, so the measured-best single-chip engine replicates on

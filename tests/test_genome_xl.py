@@ -169,6 +169,14 @@ def test_pipeline_engine_selection():
     assert genome_engine_kind(G, 8, 2) == "xl-mesh"   # mp>1 but XL fits
     assert genome_engine_kind(G, 1, 2) == "sharded-mesh"  # dense: capacity
     assert genome_engine_kind(G, 1, 0) == "sharded"
+    # per-device HBM gate: an XL index past the device budget must not be
+    # replicated when an mp capacity split is available (VERDICT/r5 review)
+    assert genome_engine_kind(G, 8, 2, genome_kmer=14,
+                              device_bytes=4 * 2**30) == "sharded-mesh"
+    # ...but a dp-only mesh has no split axis: residency is the same
+    # either way, so it stays xl-mesh
+    assert genome_engine_kind(G, 8, 1, genome_kmer=14,
+                              device_bytes=4 * 2**30) == "xl-mesh"
     assert genome_engine_kind(300_000, 1, 0) == "flat"
     assert genome_engine_kind(300_000, 1, 2) == "sharded-mesh"
     assert genome_engine_kind(300_000, 1, 1) == "flat"  # dp mesh, flat engine
