@@ -57,6 +57,15 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--xl_two_pass", type=int, default=-1,
                    help="two-pass XL seeding with per-read rescue "
                         "(-1 = auto: on at hg38 scale)")
+    p.add_argument("--xl_profile", type=str, default="robust",
+                   choices=("robust", "balanced", "throughput"),
+                   help="two-pass operating point (docs/HG38_BENCH.json "
+                        "round5): robust = pass-1 H4/top-4 + rescue H16/top-8 "
+                        "(best repeat-family recall), balanced = pass-1 "
+                        "H4/top-2 (family recall within ~1pp of robust, "
+                        "faster), throughput = pass-1 H2/top-2 + rescue H8 "
+                        "(fastest exact-unique-recall point; repeat-light "
+                        "genomes)")
     p.add_argument("--resume", action="store_true",
                    help="Skip genes whose predictions file already exists")
     p.add_argument("--gene_retries", type=int, default=1,
@@ -85,10 +94,22 @@ def align_config_for(args, genome_bp: int):
     parity defaults."""
     from anchored_fusion_tpu.config import AlignConfig
     big = genome_bp > 2**31 - 2**20
+    # measured two-pass operating points (docs/HG38_BENCH.json round5_xl_k14
+    # + round5_families copies16): (pass1_hits, pass1_top_k, rescue_hits,
+    # rescue_top_k).  All are recall_unique 1.0 at 3.1 Gbp; they trade
+    # repeat-family recall (0.9717 / 0.960 / 0.9155 at copy number 16)
+    # against throughput (19.3k / 19.9k / 27.3k reads/s at 3.1 Gbp; on the
+    # family-heavy genome balanced is +13% over robust, 15.6k vs 13.8k).
+    profile = {"robust": (4, 4, 16, 8),
+               "balanced": (4, 2, 16, 8),
+               "throughput": (2, 2, 8, 8)}[getattr(args, "xl_profile",
+                                                   "robust")]
     return AlignConfig(
         index_stride=args.index_stride or (8 if big else 1),
         genome_kmer=args.genome_kmer or (14 if big else 13),
-        xl_two_pass=(big if args.xl_two_pass < 0 else bool(args.xl_two_pass)))
+        xl_two_pass=(big if args.xl_two_pass < 0 else bool(args.xl_two_pass)),
+        xl_pass1_hits=profile[0], xl_pass1_top_k=profile[1],
+        xl_rescue_hits=profile[2], xl_rescue_top_k=profile[3])
 
 
 def init_cluster(args) -> bool:

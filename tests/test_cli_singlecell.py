@@ -88,3 +88,24 @@ def test_align_config_auto_operating_point():
     forced = align_config_for(ns2, 3_100_000_000)
     assert (forced.index_stride, forced.genome_kmer, forced.xl_two_pass) \
         == (4, 13, False)
+
+
+def test_align_config_xl_profiles():
+    """--xl_profile maps to the measured two-pass operating points
+    (docs/HG38_BENCH.json round5): robust (default, also the profile when the
+    namespace lacks the flag), balanced, throughput."""
+    import argparse
+    from anchored_fusion_tpu.cli.common import align_config_for
+    expected = {"robust": (4, 4, 16, 8),
+                "balanced": (4, 2, 16, 8),
+                "throughput": (2, 2, 8, 8)}
+    for name, (p1h, p1k, rh, rk) in expected.items():
+        ns = argparse.Namespace(index_stride=0, genome_kmer=0, xl_two_pass=-1,
+                                xl_profile=name)
+        cfg = align_config_for(ns, 3_100_000_000)
+        assert (cfg.xl_pass1_hits, cfg.xl_pass1_top_k,
+                cfg.xl_rescue_hits, cfg.xl_rescue_top_k) == (p1h, p1k, rh, rk)
+    # namespaces without the flag (library callers) fall back to robust
+    bare = argparse.Namespace(index_stride=0, genome_kmer=0, xl_two_pass=-1)
+    cfg = align_config_for(bare, 3_100_000_000)
+    assert (cfg.xl_pass1_hits, cfg.xl_pass1_top_k) == (4, 4)
