@@ -79,13 +79,17 @@ _SEED_CACHE: dict = {}
 _INFLIGHT_CHUNKS = 4
 
 # Chunks per grouped device->host result pull.  Every host pull is a full
-# round trip through the remote TPU relay (~20-100ms latency depending on the
+# round trip through the remote TPU relay (~20-250ms latency depending on the
 # day, measured in docs/PERFORMANCE.md) while the per-chunk result is tiny
 # (9 x chunk int32); stacking _FLUSH_CHUNKS results device-side and pulling
-# them as ONE array amortizes that latency 8x.  Groups are double-buffered:
+# them as ONE array amortizes that latency.  Groups are double-buffered:
 # the oldest sealed group is pulled only once a newer group has been
-# dispatched, so the device always has queued work during the pull.
-_FLUSH_CHUNKS = 8
+# dispatched — but the pull itself still BLOCKS the host thread, so each
+# mid-stream flush stalls dispatch for one relay round trip.  16 (round 5:
+# measured +6-8% over 8 on 360k- and 720k-read streams, adjacent A/B on a
+# ~250ms-relay day) halves those stalls at ~26MB of live result buffers;
+# 32 showed no further consistent gain (the bigger tail pull eats it).
+_FLUSH_CHUNKS = 16
 
 # Device-side stack of a group of same-shape stacked results; one compile per
 # (arity, shape), persisted by the compilation cache.
